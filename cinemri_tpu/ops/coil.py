@@ -1,0 +1,19 @@
+"""Coil combination (reference reconstruction/utils/coil_combine.py:5-34)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from cinemri_tpu.ops.complex import complex_abs_sq
+
+__all__ = ["rss", "rss_complex"]
+
+
+def rss(x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
+    """Root-sum-of-squares over the coil axis for real input."""
+    return jnp.sqrt(jnp.sum(x * x, axis=axis))
+
+
+def rss_complex(x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
+    """Root-sum-of-squares over the coil axis for complex input."""
+    return jnp.sqrt(jnp.sum(complex_abs_sq(x), axis=axis))

@@ -1,0 +1,97 @@
+"""Time-averaged differentiable SSIM loss.
+
+Parity target: reference reconstruction/utils/losses.py:6-58, with its two
+quirks replicated exactly (they define the training objective):
+
+  * the ``data_range`` argument is *ignored* — each frame's dynamic range is
+    recomputed as the max of that frame's **target batch** (losses.py:34
+    overwrites the argument with ``Y.max()``);
+  * covariance normalization ``NP/(NP-1)`` with a uniform ``win x win``
+    window and VALID convolution.
+
+TPU-first differences from the reference implementation: the per-frame
+Python loop (losses.py:31-56, one conv2d call per frame) is folded into a
+single batched ``lax.reduce_window`` over all frames at once (the t loop is
+pure batching), and the hardcoded ``.to('cuda')`` is gone.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["ssim_loss", "ssim_index_per_frame"]
+
+
+def _window_mean(x: jnp.ndarray, win: int) -> jnp.ndarray:
+    """Mean over a sliding win x win window, VALID; x: (n, h, w)."""
+    s = lax.reduce_window(
+        x,
+        jnp.array(0.0, dtype=x.dtype),
+        lax.add,
+        window_dimensions=(1, win, win),
+        window_strides=(1, 1, 1),
+        padding="VALID",
+    )
+    return s / (win * win)
+
+
+def ssim_index_per_frame(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    win_size: int = 7,
+    k1: float = 0.01,
+    k2: float = 0.03,
+) -> jnp.ndarray:
+    """Mean SSIM per frame, shape (t,).
+
+    Args:
+        pred/target: ``(b, t, h, w)`` real images.
+
+    The per-frame data range is ``max(target[:, t])`` over the whole batch,
+    matching reference losses.py:34 (with the reference's batch size of 1
+    this is the per-sample frame max).
+    """
+    if pred.shape != target.shape or pred.ndim != 4:
+        raise ValueError(f"expected matching (b,t,h,w), got {pred.shape} vs {target.shape}")
+    b, t, h, w = pred.shape
+    x = pred.reshape(b * t, h, w)
+    y = target.reshape(b * t, h, w)
+
+    np_ = win_size * win_size
+    cov_norm = np_ / (np_ - 1)
+
+    ux = _window_mean(x, win_size)
+    uy = _window_mean(y, win_size)
+    uxx = _window_mean(x * x, win_size)
+    uyy = _window_mean(y * y, win_size)
+    uxy = _window_mean(x * y, win_size)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+
+    # per-frame data range from the target batch (losses.py:34)
+    data_range = jnp.max(target, axis=(0, 2, 3))  # (t,)
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+    hw = ux.shape[-2:]
+    c1 = jnp.broadcast_to(c1[None, :, None, None], (b, t) + hw).reshape(b * t, *hw)
+    c2 = jnp.broadcast_to(c2[None, :, None, None], (b, t) + hw).reshape(b * t, *hw)
+
+    a1 = 2 * ux * uy + c1
+    a2 = 2 * vxy + c2
+    b1 = ux * ux + uy * uy + c1
+    b2 = vx + vy + c2
+    s = (a1 * a2) / (b1 * b2)
+    return jnp.mean(s.reshape(b, t, *hw), axis=(0, 2, 3))  # (t,)
+
+
+def ssim_loss(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    win_size: int = 7,
+    k1: float = 0.01,
+    k2: float = 0.03,
+) -> jnp.ndarray:
+    """Time-averaged SSIM loss: mean over t of (1 - mean SSIM of frame t)."""
+    return jnp.mean(1.0 - ssim_index_per_frame(pred, target, win_size, k1, k2))

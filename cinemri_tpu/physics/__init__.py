@@ -1,0 +1,27 @@
+"""MRI physics operators (encoding algebra, data consistency, CG)."""
+
+from cinemri_tpu.physics.operators import (
+    sens_expand,
+    sens_reduce,
+    apply_mask,
+    soft_dc,
+    normal_plus_lambda,
+)
+from cinemri_tpu.physics.cg import conj_grad
+from cinemri_tpu.physics.lowfreq import (
+    center_band,
+    mask_center_band,
+    low_frequency_kspace,
+)
+
+__all__ = [
+    "sens_expand",
+    "sens_reduce",
+    "apply_mask",
+    "soft_dc",
+    "normal_plus_lambda",
+    "conj_grad",
+    "center_band",
+    "mask_center_band",
+    "low_frequency_kspace",
+]

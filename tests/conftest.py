@@ -1,0 +1,32 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip behavior (mesh sharding, psum'd metrics, volume-to-chip
+assignment) is validated without TPU hardware by forcing the CPU platform
+with 8 virtual devices — the TPU-world analogue of a fake distributed
+backend (the reference has no distributed test coverage at all).
+"""
+
+import os
+
+# Force CPU even if the outer environment pins a TPU platform: tests must be
+# hermetic and run the virtual 8-device mesh. The container's sitecustomize
+# imports jax at interpreter startup (locking the platform config from the
+# env), so setting os.environ here is not enough — update the live config.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
