@@ -1,0 +1,214 @@
+"""Tests for masks, transforms, dataset, and volume sharding."""
+
+import numpy as np
+import pytest
+
+from cinemri_tpu.data import (
+    CineNetDataTransform,
+    EquispacedMask,
+    RandomMask,
+    SliceDataset,
+    VarNetDataTransform,
+    apply_mask_np,
+    center_crop,
+    center_crop_to_smallest,
+    create_mask_for_mask_type,
+    data_shard_indices,
+    filtered_crop_center_and_slices,
+    volume_shard_indices,
+)
+from cinemri_tpu.data.dataset import PreprocessConfig
+from cinemri_tpu.data.synthetic import make_synthetic_dataset, synthetic_volume
+
+
+class TestRandomMask:
+    def test_shape_and_center_band(self):
+        m = RandomMask([10], [4])(num_frames=5, num_rows=64, seed=7)
+        assert m.shape == (5, 1, 64, 1)
+        # 10 central lines always sampled (subsample.py:146-148)
+        assert (m[:, 0, 32 - 5 : 32 + 5, 0] == 1).all()
+
+    def test_expected_line_count(self):
+        m = RandomMask([10], [4])(num_frames=8, num_rows=128, seed=0)
+        lines = m[:, 0, :, 0].sum(axis=1)
+        # n_lines = Nx/acc exactly per frame (center included)
+        assert (lines == 128 // 4).all()
+
+    def test_per_frame_masks_differ(self):
+        m = RandomMask([10], [4])(num_frames=6, num_rows=96, seed=1)
+        flat = m[:, 0, :, 0]
+        assert len({tuple(row) for row in flat.astype(int)}) > 1
+
+    def test_seed_reproducible(self):
+        a = RandomMask([10], [4])(5, 64, seed=(3, 5))
+        b = RandomMask([10], [4])(5, 64, seed=(3, 5))
+        np.testing.assert_array_equal(a, b)
+
+    def test_unseeded_draws_differ(self):
+        gen = RandomMask([10], [4])
+        assert not np.array_equal(gen(5, 64), gen(5, 64))
+
+    def test_tail_adjusted_pdf_prefers_center(self):
+        gen = RandomMask([0], [4])
+        m = sum(gen(1, 128)[0, 0, :, 0] for _ in range(200)) / 200
+        center_freq = m[40:88].mean()
+        edge_freq = np.concatenate([m[:16], m[-16:]]).mean()
+        assert center_freq > 2 * edge_freq
+        assert edge_freq > 0  # uniform tail keeps edges reachable
+
+
+class TestEquispacedMask:
+    def test_static_over_time_and_rate(self):
+        m = EquispacedMask([0.08], [4])(num_frames=9, num_rows=128, seed=2)
+        assert m.shape == (1, 1, 128, 1)
+        nlow = round(128 * 0.08)
+        frac = m.sum() / 128
+        assert abs(frac - 1 / 4) < 0.03  # exact-acceleration adjustment
+        pad = (128 - nlow + 1) // 2
+        assert (m[0, 0, pad : pad + nlow, 0] == 1).all()
+
+    def test_factory(self):
+        assert isinstance(create_mask_for_mask_type("random", [10], [4]), RandomMask)
+        assert isinstance(
+            create_mask_for_mask_type("equispaced", [0.08], [4]), EquispacedMask
+        )
+        with pytest.raises(ValueError):
+            create_mask_for_mask_type("poisson", [10], [4])
+
+
+class TestTransforms:
+    def test_center_crop(self):
+        x = np.arange(100.0).reshape(10, 10)
+        c = center_crop(x, (4, 6))
+        assert c.shape == (4, 6)
+        np.testing.assert_array_equal(c, x[3:7, 2:8])
+
+    def test_center_crop_to_smallest_mixed(self):
+        a = np.zeros((3, 8, 12))
+        b = np.zeros((3, 10, 6))
+        ca, cb = center_crop_to_smallest(a, b)
+        assert ca.shape == cb.shape == (3, 8, 6)
+
+    def test_filtered_crop(self, rng):
+        data = (rng.standard_normal((6, 4, 32, 32)) + 1j * rng.standard_normal((6, 4, 32, 32))).astype(np.complex64)
+        crop, filt = filtered_crop_center_and_slices(
+            data, (24, 24), 4, [0.7, 0.0, 0.3, 0.3]
+        )
+        assert crop.shape == filt.shape == (4, 4, 24, 24)
+        # smoothing reduces high-frequency energy
+        assert np.abs(np.diff(filt.real, axis=-1)).mean() < np.abs(
+            np.diff(crop.real, axis=-1)
+        ).mean()
+
+    def test_apply_mask_zeroes_unsampled(self, rng):
+        k = (rng.standard_normal((3, 2, 16, 8)) + 1j * rng.standard_normal((3, 2, 16, 8))).astype(np.complex64)
+        masked, mask = apply_mask_np(k, RandomMask([4], [4]), seed=5)
+        assert mask.shape == (3, 1, 16, 1)
+        np.testing.assert_array_equal(masked, k * mask)
+
+    def test_varnet_transform_sample(self, rng):
+        vol = synthetic_volume(num_frames=4, num_coils=3, h=32, w=32)
+        tr = VarNetDataTransform(mask_func=RandomMask([4], [4]), use_seed=True)
+        target = vol["image"][:, 2:-2, 2:-2]
+        s = tr(vol["kspace"], None, target, {}, "vol_a.h5", 0)
+        assert s["masked_kspace"].shape == (4, 3, 32, 32)
+        assert s["mask"].shape == (4, 1, 32, 1)
+        assert s["max_value"] == pytest.approx(target.max())
+        # filename-seeded: same file → same mask (transforms.py:324)
+        s2 = tr(vol["kspace"], None, target, {}, "vol_a.h5", 0)
+        np.testing.assert_array_equal(s["mask"], s2["mask"])
+
+    def test_cinenet_transform_adds_maps(self):
+        vol = synthetic_volume(num_frames=4, num_coils=4, h=48, w=48)
+        tr = CineNetDataTransform(mask_func=RandomMask([8], [2]), use_seed=True)
+        s = tr(vol["kspace"], None, vol["image"], {}, "vol_b.h5", 0)
+        assert s["sens_maps"].shape == (1, 4, 48, 48)
+        assert s["sens_maps"].dtype == np.complex64
+        assert np.abs(s["sens_maps"]).max() > 0.1
+
+
+class TestDataset:
+    @pytest.fixture(scope="class")
+    def data_root(self, tmp_path_factory):
+        root = tmp_path_factory.mktemp("data")
+        return make_synthetic_dataset(
+            root, splits=("train",), volumes_per_split=3, num_frames=5,
+            num_coils=4, h=48, w=48,
+        )
+
+    def test_listing_and_metadata(self, data_root):
+        ds = SliceDataset(data_root / "train")
+        assert len(ds) == 3
+        assert ds.examples[0].metadata["num_coils"] == 4
+        assert ds.examples[0].metadata["encoding_size"] == (48, 48)
+
+    def test_getitem_preprocess_chain(self, data_root, tmp_path):
+        ds = SliceDataset(
+            data_root / "train",
+            transform=VarNetDataTransform(RandomMask([8], [2]), use_seed=True),
+            maps_cache_dir=tmp_path / "maps",
+        )
+        s = ds[0]
+        t, c, h, w = s["masked_kspace"].shape
+        assert (t, c) == (5, 4)
+        cfg = PreprocessConfig().scaled_to(48, 48, 5)
+        assert (h, w) == cfg.crop_shape
+        assert s["target"].shape == (5,) + cfg.crop_target
+        assert s["max_value"] > 0
+        # second access hits the cache and is identical
+        s2 = ds[0]
+        np.testing.assert_array_equal(s["target"], s2["target"])
+        assert (tmp_path / "maps").exists()
+
+    def test_target_matches_phantom_structure(self, data_root, tmp_path):
+        """The ESPIRiT-combined target must reproduce phantom intensity."""
+        ds = SliceDataset(data_root / "train", maps_cache_dir=tmp_path / "m2")
+        kspace, _, target, _, fname, _ = ds[0]
+        assert target.max() > 0.5e0  # ×1e6 of the 1e-6-scaled store ≈ O(1)
+        # bright ring should appear in every frame
+        assert (target.reshape(5, -1).max(axis=1) > 0.5 * target.max()).all()
+
+    def test_volume_sample_rate(self, data_root):
+        ds = SliceDataset(data_root / "train", volume_sample_rate=0.67)
+        assert len(ds) == 2
+
+    def test_num_cols_filter(self, data_root):
+        assert len(SliceDataset(data_root / "train", num_cols=[48])) == 3
+        assert len(SliceDataset(data_root / "train", num_cols=[999])) == 0
+
+
+class TestSharding:
+    def _examples(self, vols=5, slices=3):
+        return [(f"vol{v:02d}", s) for v in range(vols) for s in range(slices)]
+
+    def test_volumes_stay_whole(self):
+        ex = self._examples()
+        for rank in range(2):
+            idx = volume_shard_indices(ex, 2, rank, shuffle=False)
+            vols = {ex[i][0] for i in idx}
+            for v in vols:  # every slice of an owned volume is present
+                assert sum(ex[i][0] == v for i in idx) >= 3
+
+    def test_ranks_partition_and_pad_equal(self):
+        ex = self._examples(vols=5)
+        a = volume_shard_indices(ex, 2, 0, shuffle=False)
+        b = volume_shard_indices(ex, 2, 1, shuffle=False)
+        assert len(a) == len(b) == 9  # 3 vols * 3 slices on the big rank
+        assert {ex[i][0] for i in a}.isdisjoint({ex[i][0] for i in b})
+
+    def test_epoch_seeded_shuffle(self):
+        ex = self._examples(vols=8)
+        a = volume_shard_indices(ex, 2, 0, shuffle=True, seed=1, epoch=0)
+        b = volume_shard_indices(ex, 2, 0, shuffle=True, seed=1, epoch=0)
+        c = volume_shard_indices(ex, 2, 0, shuffle=True, seed=1, epoch=1)
+        assert a == b
+        assert set(a) == set(c)
+        assert a != c
+
+    def test_data_shard_indices_cover_all(self):
+        got = sorted(
+            i for r in range(4) for i in data_shard_indices(10, 4, r, shuffle=False)
+        )
+        assert set(got) == set(range(10))
+        lens = {len(data_shard_indices(10, 4, r, shuffle=False)) for r in range(4)}
+        assert lens == {3}  # padded to equal length
