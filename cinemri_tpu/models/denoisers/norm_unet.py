@@ -1,0 +1,99 @@
+"""Normalized U-Net wrappers over native-complex inputs.
+
+Parity target: reference reconstruction/models/denoisers/norm_unet.py:12-219.
+The reference packs the trailing real/imag dim into channels, normalizes the
+real-part group and imag-part group separately (mean/std with Bessel
+correction over all pixels of the group), pads H/W (and T for 3-D) to
+multiples of 16, runs the U-Net, then unwinds everything. Same here, on
+native complex input:
+
+  * :class:`NormUnet`   — input ``(n, h, w)`` complex (one complex channel,
+    like the reference's ``(n, 1, h, w, 2)``).
+  * :class:`NormUnet3D` — input ``(n, t, h, w)`` complex.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from cinemri_tpu.models.denoisers.unet import Unet
+from cinemri_tpu.ops.pad import pad_to_multiple, unpad
+
+__all__ = ["NormUnet", "NormUnet3D"]
+
+
+def _norm_groups(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Normalize each trailing channel over all other (non-batch) axes.
+
+    Matches norm_unet.py:59-74: per-sample mean and *unbiased* std of the
+    real group and the imag group (here: the two trailing channels).
+    """
+    axes = tuple(range(1, x.ndim - 1))
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    n = 1
+    for ax in axes:
+        n *= x.shape[ax]
+    var = jnp.var(x, axis=axes, keepdims=True) * (n / (n - 1))
+    std = jnp.sqrt(var)
+    return (x - mean) / std, mean, std
+
+
+class NormUnet(nn.Module):
+    """Reference NormUnet (norm_unet.py:12-114) on (n, h, w) complex."""
+
+    chans: int
+    num_pools: int
+    drop_prob: float = 0.0
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if not jnp.iscomplexobj(x) or x.ndim != 3:
+            raise ValueError(f"expected complex (n, h, w), got {x.shape} {x.dtype}")
+        r = jnp.stack([x.real, x.imag], axis=-1)  # (n, h, w, 2)
+        r, mean, std = _norm_groups(r)
+        r, spec = pad_to_multiple(r, 16, axes=(1, 2))
+        r = Unet(
+            chans=self.chans,
+            num_pool_layers=self.num_pools,
+            in_chans=2,
+            out_chans=2,
+            drop_prob=self.drop_prob,
+            dims=2,
+            deterministic=self.deterministic,
+        )(r)
+        r = unpad(r, spec, axes=(1, 2))
+        r = r * std + mean
+        return (r[..., 0] + 1j * r[..., 1]).astype(x.dtype)
+
+
+class NormUnet3D(nn.Module):
+    """Reference NormUnet3D (norm_unet.py:117-219) on (n, t, h, w) complex."""
+
+    chans: int
+    num_pools: int
+    drop_prob: float = 0.0
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if not jnp.iscomplexobj(x) or x.ndim != 4:
+            raise ValueError(f"expected complex (n, t, h, w), got {x.shape} {x.dtype}")
+        r = jnp.stack([x.real, x.imag], axis=-1)  # (n, t, h, w, 2)
+        r, mean, std = _norm_groups(r)
+        r, spec = pad_to_multiple(r, 16, axes=(1, 2, 3))
+        r = Unet(
+            chans=self.chans,
+            num_pool_layers=self.num_pools,
+            in_chans=2,
+            out_chans=2,
+            drop_prob=self.drop_prob,
+            dims=3,
+            deterministic=self.deterministic,
+        )(r)
+        r = unpad(r, spec, axes=(1, 2, 3))
+        r = r * std + mean
+        return (r[..., 0] + 1j * r[..., 1]).astype(x.dtype)

@@ -1,0 +1,323 @@
+"""CRNN dynamic variants: recurrence over time *and* unrolled iterations.
+
+Parity targets:
+  * :class:`VarNetRNN`  — reference reconstruction/models/recurrent_varnet.py:13-150
+  * :class:`CineNetRNN` — recurrent_cinenet.py:12-187
+  * :class:`XPDNetRNN`  — recurrent_xpdnet.py:14-239
+
+Shared trunk (all three): a bidirectional CRNN over t feeding three
+iteration-recurrent conv layers and an output conv, with a residual add onto
+the input, then the model family's data-consistency step (soft DC / CG /
+primal-dual buffer update). All trunk weights are shared across unrolled
+iterations (the reference creates the convs once), and — unlike VarNet —
+λ is a single shared parameter, not per-cascade.
+
+TPU-first: VarNet/CineNet iteration recurrences are ``nn.scan`` with
+broadcast params carrying ``(image, h0..h3)`` hidden state; the reference's
+growing ``net['t%d_x%d']`` dict of Python-loop tensors (with ``.cuda()``
+hidden inits) becomes a fixed-size scan carry. XPDNetRNN keeps a Python
+loop because its k-space net has *per-iteration* weights when
+``primal_only=False`` (recurrent_xpdnet.py:66-73), which cannot be
+broadcast; each iteration is rematerialized.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from cinemri_tpu.models.denoisers.crnn import BCRNN
+from cinemri_tpu.models.denoisers.kspace_cnn import KSpaceCNN
+from cinemri_tpu.models.varnet import SensitivityModel, lambda_init
+from cinemri_tpu.models.xpdnet import XPDNetSensitivityModel, _merge_ri, _split_ri
+from cinemri_tpu.physics.cg import conj_grad
+from cinemri_tpu.physics.operators import (
+    apply_mask,
+    normal_plus_lambda,
+    sens_expand,
+    sens_reduce,
+    soft_dc,
+)
+
+__all__ = ["VarNetRNN", "CineNetRNN", "XPDNetRNN", "CRNNTrunk"]
+
+
+class CRNNTrunk(nn.Module):
+    """BCRNN + 3 iteration-recurrent convs + output conv
+    (recurrent_varnet.py:49-58,115-147).
+
+    ``x_in``: (t, b, h, w, in_ch); hiddens: h0 (t, b, h, w, chans),
+    h1/h2/h3 (t*b, h, w, chans). Returns (correction (t*b, h, w, out_ch),
+    new hiddens).
+    """
+
+    chans: int
+    in_ch: int = 2
+    out_ch: int = 2
+
+    @nn.compact
+    def __call__(self, x_in, hiddens):
+        h0, h1, h2, h3 = hiddens
+        t, b, h, w, _ = x_in.shape
+
+        x0 = BCRNN(self.chans, name="bcrnn")(x_in, h0)
+        x0f = x0.reshape(t * b, h, w, self.chans)
+
+        x1 = nn.relu(
+            nn.Conv(self.chans, (3, 3), padding="SAME", name="conv1_x")(x0f)
+            + nn.Conv(self.chans, (3, 3), padding="SAME", name="conv1_h")(h1)
+        )
+        x2 = nn.relu(
+            nn.Conv(self.chans, (3, 3), padding="SAME", name="conv2_x")(x1)
+            + nn.Conv(self.chans, (3, 3), padding="SAME", name="conv2_h")(h2)
+        )
+        x3 = nn.relu(
+            nn.Conv(self.chans, (3, 3), padding="SAME", name="conv3_x")(x2)
+            + nn.Conv(self.chans, (3, 3), padding="SAME", name="conv3_h")(h3)
+        )
+        x4 = nn.Conv(self.out_ch, (3, 3), padding="SAME", name="conv4_x")(x3)
+        return x4, (x0, x1, x2, x3)
+
+
+def _zero_hiddens(t: int, b: int, h: int, w: int, chans: int):
+    return (
+        jnp.zeros((t, b, h, w, chans), jnp.float32),
+        jnp.zeros((t * b, h, w, chans), jnp.float32),
+        jnp.zeros((t * b, h, w, chans), jnp.float32),
+        jnp.zeros((t * b, h, w, chans), jnp.float32),
+    )
+
+
+def _image_to_tb(x: jnp.ndarray) -> jnp.ndarray:
+    """(b, t, h, w) complex -> (t, b, h, w, 2) real channels."""
+    x = x.transpose(1, 0, 2, 3)
+    return jnp.stack([x.real, x.imag], axis=-1)
+
+
+def _tb_to_image(r: jnp.ndarray) -> jnp.ndarray:
+    """(t, b, h, w, 2) -> (b, t, h, w) complex."""
+    return (r[..., 0] + 1j * r[..., 1]).transpose(1, 0, 2, 3).astype(jnp.complex64)
+
+
+class _VarNetRNNStep(nn.Module):
+    chans: int
+
+    @nn.compact
+    def __call__(self, carry, ref_kspace, mask, sens_maps):
+        x, hiddens = carry
+        b, t, h, w = x.shape
+        x_in = _image_to_tb(x)  # (t, b, h, w, 2)
+        x4, hiddens = CRNNTrunk(self.chans, name="trunk")(x_in, hiddens)
+        out = x_in.reshape(t * b, h, w, 2) + x4.reshape(t * b, h, w, 2)
+        out_img = _tb_to_image(out.reshape(t, b, h, w, 2))
+
+        lam = self.param("lambda_reg", lambda_init, ())
+        v = jax.nn.softplus(lam)
+        current_k = sens_expand(out_img[:, :, None], sens_maps)
+        dc = soft_dc(current_k, ref_kspace, mask, v)
+        x_new = sens_reduce(dc, sens_maps)[:, :, 0]
+        return (x_new, hiddens), None
+
+
+class VarNetRNN(nn.Module):
+    """VarNet-CRNN hybrid (recurrent_varnet.py:13-150)."""
+
+    num_cascades: int = 12
+    sens_chans: int = 8
+    sens_pools: int = 4
+    chans: int = 18
+    remat: bool = True
+
+    @nn.compact
+    def __call__(self, ref_kspace: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        sens_maps = SensitivityModel(self.sens_chans, self.sens_pools, name="sens_net")(
+            ref_kspace, mask
+        )
+        x = sens_reduce(ref_kspace, sens_maps)[:, :, 0]  # (b, t, h, w)
+        b, t, h, w = x.shape
+        hiddens = _zero_hiddens(t, b, h, w, self.chans)
+
+        step = nn.remat(_VarNetRNNStep) if self.remat else _VarNetRNNStep
+        scan = nn.scan(
+            step,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+            length=self.num_cascades,
+        )
+        (x, _), _ = scan(chans=self.chans, name="iterations")(
+            (x, hiddens), ref_kspace, mask, sens_maps
+        )
+        return jnp.abs(x)
+
+
+class _CineNetRNNStep(nn.Module):
+    chans: int
+    cg_iters: int
+
+    @nn.compact
+    def __call__(self, carry, x_ref, mask, sens_maps):
+        x, hiddens = carry
+        b, t, h, w = x.shape
+        x_in = _image_to_tb(x)
+        x4, hiddens = CRNNTrunk(self.chans, name="trunk")(x_in, hiddens)
+        out = x_in.reshape(t * b, h, w, 2) + x4.reshape(t * b, h, w, 2)
+        out_img = _tb_to_image(out.reshape(t, b, h, w, 2))[:, :, None]  # (b,t,1,h,w)
+
+        lam = self.param("lambda_reg", lambda_init, ())
+        v = jax.nn.softplus(lam)
+        rhs = x_ref + v * out_img  # recurrent_cinenet.py:179-181
+        op = lambda z: normal_plus_lambda(z, mask, sens_maps, v)
+        x_new = conj_grad(op, rhs, out_img, iters=self.cg_iters)
+        return (x_new[:, :, 0], hiddens), None
+
+
+class CineNetRNN(nn.Module):
+    """CineNet-CRNN hybrid (recurrent_cinenet.py:12-187); takes precomputed
+    sensitivity maps like CineNet."""
+
+    num_cascades: int = 10
+    cg_iters: int = 4
+    chans: int = 64
+    remat: bool = True
+
+    @nn.compact
+    def __call__(
+        self, ref_kspace: jnp.ndarray, mask: jnp.ndarray, sens_maps: jnp.ndarray
+    ) -> jnp.ndarray:
+        x_ref = sens_reduce(ref_kspace, sens_maps)  # (b, t, 1, h, w)
+        x = x_ref[:, :, 0]
+        b, t, h, w = x.shape
+        hiddens = _zero_hiddens(t, b, h, w, self.chans)
+
+        step = nn.remat(_CineNetRNNStep) if self.remat else _CineNetRNNStep
+        scan = nn.scan(
+            step,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+            length=self.num_cascades,
+        )
+        (x, _), _ = scan(chans=self.chans, cg_iters=self.cg_iters, name="iterations")(
+            (x, hiddens), x_ref, mask, sens_maps
+        )
+        return jnp.abs(x)
+
+
+def _xpdnet_rnn_body(carry, ref_kspace, mask, sens_maps, trunk, kspace_net, n_primal):
+    """One K-correction + buffer update + CRNN image correction
+    (recurrent_xpdnet.py:89-231). ``trunk`` is a bound CRNNTrunk; ``kspace_net``
+    is a bound KSpaceCNN or None for the measurements-residual default."""
+    image_buffer, kspace_buffer, hiddens = carry
+    b, t, h, w, _ = image_buffer.shape
+    n = n_primal
+
+    # k-domain correction
+    head = image_buffer[..., 0][:, :, None]
+    fwd = apply_mask(sens_expand(head, sens_maps), mask)
+    if kspace_net is not None:
+        cat = jnp.concatenate(
+            [kspace_buffer, fwd[..., None], ref_kspace[..., None]], axis=-1
+        )
+        kspace_buffer = _merge_ri(kspace_net(_split_ri(cat)))
+    else:
+        kspace_buffer = (fwd - ref_kspace)[..., None]
+
+    # image buffer update
+    bwd = sens_reduce(apply_mask(kspace_buffer[..., 0], mask), sens_maps)[:, :, 0]
+    buf = jnp.concatenate([image_buffer, bwd[..., None]], axis=-1)
+
+    # CRNN correction over the buffer channels; residual adds the first
+    # n_primal buffer channels back (recurrent_xpdnet.py:220-225)
+    x_in = _split_ri(buf).transpose(1, 0, 2, 3, 4)  # (t, b, h, w, 2(n+1))
+    x4, hiddens = trunk(x_in, hiddens)
+    x_res = _split_ri(buf[..., :n]).transpose(1, 0, 2, 3, 4)
+    out = x_res.reshape(t * b, h, w, 2 * n) + x4
+    image_buffer = _merge_ri(out.reshape(t, b, h, w, 2 * n)).transpose(1, 0, 2, 3, 4)
+    return image_buffer, kspace_buffer, hiddens
+
+
+class _XPDNetRNNStep(nn.Module):
+    """Scan step for the all-weights-shared (primal_only) configuration."""
+
+    chans: int
+    n_primal: int
+
+    @nn.compact
+    def __call__(self, carry, ref_kspace, mask, sens_maps):
+        trunk = CRNNTrunk(
+            self.chans,
+            in_ch=2 * (self.n_primal + 1),
+            out_ch=2 * self.n_primal,
+            name="trunk",
+        )
+        carry = _xpdnet_rnn_body(
+            carry, ref_kspace, mask, sens_maps, trunk, None, self.n_primal
+        )
+        return carry, None
+
+
+class XPDNetRNN(nn.Module):
+    """XPDNet-CRNN hybrid (recurrent_xpdnet.py:14-239): primal-dual buffers
+    with a CRNN image correction over the (n_primal+1)-channel buffer.
+
+    With ``primal_only=True`` (the reference's default config) all weights
+    are iteration-shared and the unroll is a scanned loop; with
+    ``primal_only=False`` the k-space nets have per-iteration weights
+    (recurrent_xpdnet.py:66-73), which forces an unrolled Python loop.
+    """
+
+    num_cascades: int = 12
+    sens_chans: int = 8
+    sens_pools: int = 4
+    chans: int = 18
+    primal_only: bool = True
+    n_primal: int = 5
+    n_dual: int = 1
+    remat: bool = True
+
+    @nn.compact
+    def __call__(self, ref_kspace: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        sens_maps = XPDNetSensitivityModel(
+            self.sens_chans, self.sens_pools, name="sens_net"
+        )(ref_kspace, mask)
+        image = sens_reduce(apply_mask(ref_kspace, mask), sens_maps)[:, :, 0]
+        k_buf_size = 1 if self.primal_only else self.n_dual
+        image_buffer = jnp.repeat(image[..., None], self.n_primal, axis=-1)
+        kspace_buffer = jnp.repeat(ref_kspace[..., None], k_buf_size, axis=-1)
+
+        b, t, h, w = image.shape
+        hiddens = _zero_hiddens(t, b, h, w, self.chans)
+        carry = (image_buffer, kspace_buffer, hiddens)
+
+        if self.primal_only:
+            # all weights iteration-shared: scan + remat
+            step_cls = nn.remat(_XPDNetRNNStep) if self.remat else _XPDNetRNNStep
+            scan = nn.scan(
+                step_cls,
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+                length=self.num_cascades,
+            )
+            carry, _ = scan(
+                chans=self.chans, n_primal=self.n_primal, name="iterations"
+            )(carry, ref_kspace, mask, sens_maps)
+        else:
+            # shared trunk, per-iteration k-space nets (recurrent_xpdnet.py:66-73)
+            trunk = CRNNTrunk(
+                self.chans,
+                in_ch=2 * (self.n_primal + 1),
+                out_ch=2 * self.n_primal,
+                name="trunk",
+            )
+            for i in range(self.num_cascades):
+                knet = KSpaceCNN(out_chans=2 * self.n_dual, name=f"kspace_net_{i}")
+                carry = _xpdnet_rnn_body(
+                    carry, ref_kspace, mask, sens_maps, trunk, knet, self.n_primal
+                )
+
+        return jnp.abs(carry[0][..., 0])

@@ -1,0 +1,170 @@
+"""Dynamic End-to-End Variational Network (VarNet).
+
+Parity target: reference reconstruction/models/varnet.py:14-282 — unrolled
+k-space cascades with a learned-λ soft data-consistency step, a learned
+sensitivity-map U-Net, and four dynamic regularizer variants (2D / 3D /
+XT / XF); the CRNN variant lives in :mod:`cinemri_tpu.models.recurrent`.
+
+TPU-first structure: the cascade loop is an ``nn.scan`` (one traced cascade
+body regardless of depth) with the regularizer U-Net's parameters
+*broadcast* across cascades — the reference builds one U-Net and reuses it
+in every block (varnet.py:138-149), so sharing is semantic parity, and the
+per-cascade λ is a single ``(num_cascades,)`` parameter scanned as loop
+input. ``remat=True`` rematerializes each cascade in the backward pass,
+bounding training memory at one cascade's activations.
+
+I/O: ``masked_kspace (b, t, c, h, w) complex64``, ``mask (b, t|1, 1, h, 1)``
+-> magnitude image ``(b, t, h, w) float32``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from cinemri_tpu.models.denoisers.norm_unet import NormUnet, NormUnet3D
+from cinemri_tpu.ops.coil import rss_complex
+from cinemri_tpu.ops.fft import fft1c, ifft1c, ifft2c
+from cinemri_tpu.physics.lowfreq import center_band, mask_center_band
+from cinemri_tpu.physics.operators import sens_expand, sens_reduce, soft_dc
+
+__all__ = ["VarNet", "VarNetCascade", "SensitivityModel", "LAMBDA_INIT", "DYNAMIC_TYPES"]
+
+# softplus(LAMBDA_INIT) == 1 (reference varnet.py:176-179)
+LAMBDA_INIT = math.log(math.e - 1.0)
+
+DYNAMIC_TYPES = ("2D", "3D", "XT", "XF")
+
+
+def lambda_init(key, shape, dtype=jnp.float32):
+    return jnp.full(shape, LAMBDA_INIT, dtype)
+
+
+class SensitivityModel(nn.Module):
+    """Learned coil-sensitivity estimation (varnet.py:14-86).
+
+    IFFT of the center-band-masked, time-averaged k-space, a per-coil
+    NormUnet (coils folded into the batch), then RSS normalization.
+    """
+
+    chans: int
+    num_pools: int
+
+    @nn.compact
+    def __call__(self, masked_kspace: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        def lowfreq(k, m):  # per-sample: (t, c, h, w), (t|1, 1, h, 1)
+            pad, num_low = center_band(m[None])
+            return mask_center_band(jnp.mean(k, axis=0), pad, num_low, axis=-2)
+
+        x = jax.vmap(lowfreq)(masked_kspace, mask)  # (b, c, h, w)
+        x = ifft2c(x)
+        b, c, h, w = x.shape
+        x = NormUnet(self.chans, self.num_pools)(x.reshape(b * c, h, w))
+        x = x.reshape(b, c, h, w)
+        x = x / rss_complex(x, axis=1)[:, None]
+        return x[:, None]  # (b, 1, c, h, w)
+
+
+class VarNetCascade(nn.Module):
+    """One unrolled block (varnet.py:154-282), scanned over cascades."""
+
+    chans: int
+    pools: int
+    dynamic_type: str = "XF"
+    weight_sharing: bool = False
+
+    def _xfyf(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Rotated-plane regularization (varnet.py:196-241): temporal-mean
+        subtraction, optional temporal FFT (XF), per-plane NormUnets on the
+        (w,t)- and (h,t)-plane batches, average, inverse FFT, mean restored."""
+        b, t, h, w = x.shape
+        mean = jnp.mean(x, axis=1, keepdims=True)
+        x = x - mean
+        if self.dynamic_type == "XF":
+            x = fft1c(x, axis=1)
+
+        xf = x.transpose(0, 2, 3, 1).reshape(b * h, w, t)
+        yf = x.transpose(0, 3, 2, 1).reshape(b * w, h, t)
+        if self.weight_sharing:
+            net = NormUnet(self.chans, self.pools, name="plane_net")
+            xf, yf = net(xf), net(yf)
+        else:
+            xf = NormUnet(self.chans, self.pools, name="net_xf")(xf)
+            yf = NormUnet(self.chans, self.pools, name="net_yf")(yf)
+        xf = xf.reshape(b, h, w, t).transpose(0, 3, 1, 2)
+        yf = yf.reshape(b, w, h, t).transpose(0, 3, 2, 1)
+        out = 0.5 * (xf + yf)
+
+        if self.dynamic_type == "XF":
+            out = ifft1c(out, axis=1)
+        return out + mean
+
+    @nn.compact
+    def __call__(self, kspace_pred, lam, ref_kspace, mask, sens_maps):
+        image = sens_reduce(kspace_pred, sens_maps)[:, :, 0]  # (b, t, h, w)
+        b, t, h, w = image.shape
+
+        if self.dynamic_type in ("XF", "XT"):
+            model_out = self._xfyf(image)
+        elif self.dynamic_type == "2D":
+            # fold t into batch: per-frame static reconstruction
+            # (varnet.py:259-268)
+            out = NormUnet(self.chans, self.pools, name="net")(
+                image.reshape(b * t, h, w)
+            )
+            model_out = out.reshape(b, t, h, w)
+        elif self.dynamic_type == "3D":
+            model_out = NormUnet3D(self.chans, self.pools, name="net")(image)
+        else:
+            raise ValueError(f"unknown dynamic_type {self.dynamic_type}")
+
+        model_term = sens_expand(model_out[:, :, None], sens_maps)
+        v = jax.nn.softplus(lam)
+        return soft_dc(model_term, ref_kspace, mask, v), None
+
+
+class VarNet(nn.Module):
+    """Full dynamic VarNet (varnet.py:91-151)."""
+
+    num_cascades: int = 12
+    sens_chans: int = 8
+    sens_pools: int = 4
+    chans: int = 18
+    pools: int = 4
+    dynamic_type: str = "XF"
+    weight_sharing: bool = False
+    remat: bool = True
+
+    @nn.compact
+    def __call__(self, masked_kspace: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        if self.dynamic_type not in DYNAMIC_TYPES:
+            raise ValueError(
+                f"dynamic_type must be one of {DYNAMIC_TYPES} (CRNN is "
+                "models.recurrent.VarNetRNN)"
+            )
+        sens_maps = SensitivityModel(self.sens_chans, self.sens_pools, name="sens_net")(
+            masked_kspace, mask
+        )
+        lam = self.param("lambda_reg", lambda_init, (self.num_cascades,))
+
+        block = nn.remat(VarNetCascade) if self.remat else VarNetCascade
+        scan = nn.scan(
+            block,
+            variable_broadcast="params",  # regularizer U-Net shared (varnet.py:138-149)
+            split_rngs={"params": False},
+            in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast),
+            length=self.num_cascades,
+        )
+        kspace_pred, _ = scan(
+            chans=self.chans,
+            pools=self.pools,
+            dynamic_type=self.dynamic_type,
+            weight_sharing=self.weight_sharing,
+            name="cascades",
+        )(masked_kspace, lam, masked_kspace, mask, sens_maps)
+
+        image = sens_reduce(kspace_pred, sens_maps, keepdims=False)  # (b, t, h, w)
+        return jnp.abs(image)
