@@ -24,16 +24,21 @@ __all__ = ["ssim_loss", "ssim_index_per_frame"]
 
 
 def _window_mean(x: jnp.ndarray, win: int) -> jnp.ndarray:
-    """Mean over a sliding win x win window, VALID; x: (n, h, w)."""
-    s = lax.reduce_window(
-        x,
-        jnp.array(0.0, dtype=x.dtype),
-        lax.add,
-        window_dimensions=(1, win, win),
-        window_strides=(1, 1, 1),
+    """Mean over a sliding win x win window, VALID; x: (n, h, w).
+
+    Implemented as a 2-D convolution with a uniform kernel (the reference's
+    ``F.conv2d`` with a ones/NP weight, losses.py:22): conv has first-class
+    autodiff + SPMD-sharding support and maps onto the MXU, unlike
+    ``lax.reduce_window`` whose reverse-mode rule rejects sharded operands.
+    """
+    kernel = jnp.full((1, 1, win, win), 1.0 / (win * win), dtype=x.dtype)
+    s = lax.conv_general_dilated(
+        x[:, None],  # (n, 1, h, w)
+        kernel,
+        window_strides=(1, 1),
         padding="VALID",
     )
-    return s / (win * win)
+    return s[:, 0]
 
 
 def ssim_index_per_frame(
@@ -70,13 +75,14 @@ def ssim_index_per_frame(
     vy = cov_norm * (uyy - uy * uy)
     vxy = cov_norm * (uxy - ux * uy)
 
-    # per-frame data range from the target batch (losses.py:34)
-    data_range = jnp.max(target, axis=(0, 2, 3))  # (t,)
-    c1 = (k1 * data_range) ** 2
-    c2 = (k2 * data_range) ** 2
+    # per-sample, per-frame data range from the target (losses.py:34 computes
+    # the frame max over the whole batch, but the reference batch size is 1,
+    # where the two definitions coincide; per-sample keeps the semantics
+    # independent of device batching)
+    data_range = jnp.max(target, axis=(2, 3))  # (b, t)
+    c1 = ((k1 * data_range) ** 2).reshape(b * t, 1, 1)
+    c2 = ((k2 * data_range) ** 2).reshape(b * t, 1, 1)
     hw = ux.shape[-2:]
-    c1 = jnp.broadcast_to(c1[None, :, None, None], (b, t) + hw).reshape(b * t, *hw)
-    c2 = jnp.broadcast_to(c2[None, :, None, None], (b, t) + hw).reshape(b * t, *hw)
 
     a1 = 2 * ux * uy + c1
     a2 = 2 * vxy + c2

@@ -1,0 +1,17 @@
+"""Parallelism: device meshes, batch sharding, distributed reductions."""
+
+from cinemri_tpu.parallel.mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+    ARRAY_KEYS,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "ARRAY_KEYS",
+]

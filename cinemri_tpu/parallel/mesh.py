@@ -1,0 +1,70 @@
+"""Device mesh construction and batch sharding.
+
+The reference reaches distribution through Lightning's DP/DDP backends over
+NCCL/Gloo (train_test_varnet.py:148-149,286-297; volume_sampler.py;
+DistributedMetricSum). The TPU-native equivalent (SURVEY §2b) is an explicit
+``jax.sharding.Mesh``: the batch axis is sharded over the ``data`` axis, the
+model is replicated, and jit's SPMD partitioner emits the gradient
+all-reduce over ICI — no communication code in the model.
+
+An optional ``plane`` axis demonstrates the XT/XF sequence-parallel layout:
+the rotated-plane batches (b·h independent (w,t) images per cascade,
+varnet.py:216-217) are embarrassingly parallel and can be sharded across
+chips with no halo exchange (SURVEY §5 long-context notes).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "ARRAY_KEYS",
+]
+
+ARRAY_KEYS = ("masked_kspace", "mask", "target", "sens_maps")
+
+
+def make_mesh(
+    shape: Optional[Dict[str, int]] = None, devices: Optional[Sequence] = None
+) -> Mesh:
+    """Build a mesh; default: all devices on one ``data`` axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = {"data": len(devices)}
+    names = tuple(shape.keys())
+    dims = tuple(shape.values())
+    if int(np.prod(dims)) != len(devices):
+        raise ValueError(f"mesh {shape} needs {np.prod(dims)} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices).reshape(dims), names)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict, mesh: Optional[Mesh], axis: str = "data") -> Dict:
+    """Device-put array fields, sharding the leading (batch) axis when it
+    divides the mesh axis size; everything else is replicated."""
+    if mesh is None:
+        return {k: batch[k] for k in ARRAY_KEYS if k in batch}
+    n = mesh.shape[axis]
+    out = {}
+    for k in ARRAY_KEYS:
+        if k not in batch:
+            continue
+        v = batch[k]
+        sh = batch_sharding(mesh, axis) if v.shape[0] % n == 0 else replicated_sharding(mesh)
+        out[k] = jax.device_put(v, sh)
+    return out

@@ -1,0 +1,100 @@
+"""Host-side batching over the datasets.
+
+Replaces the reference's torch DataLoader + worker processes + per-worker
+RNG seeding (data_module.py:18-61,134-204). Batches are dicts of stacked
+numpy arrays (device placement and sharding happen in the trainer); mask
+RNGs are seeded deterministically per (base_seed, epoch, rank) instead of
+per worker process. Eval splits use volume-aware sharding so whole volumes
+stay on one worker (the VolumeSampler contract).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from cinemri_tpu.data.sharding import data_shard_indices, volume_shard_indices
+
+__all__ = ["Loader", "collate"]
+
+_STACK_KEYS = ("masked_kspace", "mask", "target", "sens_maps")
+
+
+def collate(samples: List[Dict]) -> Dict:
+    """Stack sample dicts into one batch dict."""
+    batch: Dict = {}
+    for k in _STACK_KEYS:
+        if k in samples[0]:
+            batch[k] = np.stack([s[k] for s in samples])
+    batch["fname"] = [s["fname"] for s in samples]
+    batch["slice_num"] = np.asarray([s["slice_num"] for s in samples])
+    batch["max_value"] = np.asarray([s["max_value"] for s in samples], np.float32)
+    return batch
+
+
+class Loader:
+    """Deterministic epoch-based batch iterator over a SliceDataset."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 1,
+        shuffle: bool = False,
+        num_replicas: int = 1,
+        rank: int = 0,
+        volume_aware: bool = False,
+        seed: int = 42,
+        drop_last: bool = False,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_replicas = num_replicas
+        self.rank = rank
+        self.volume_aware = volume_aware
+        self.seed = seed
+        self.drop_last = drop_last
+
+    def _indices(self, epoch: int) -> List[int]:
+        if self.volume_aware and self.num_replicas > 1:
+            return volume_shard_indices(
+                self.dataset.examples,
+                self.num_replicas,
+                self.rank,
+                shuffle=self.shuffle,
+                seed=self.seed,
+                epoch=epoch,
+            )
+        return data_shard_indices(
+            len(self.dataset),
+            self.num_replicas,
+            self.rank,
+            shuffle=self.shuffle,
+            seed=self.seed,
+            epoch=epoch,
+            drop_last=self.drop_last,
+        )
+
+    def steps_per_epoch(self) -> int:
+        n = len(self._indices(0))
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def epoch(self, epoch: int = 0) -> Iterator[Dict]:
+        # reseed per-epoch mask RNG deterministically (the reference's
+        # worker_init_fn analogue, data_module.py:18-61)
+        tr = getattr(self.dataset, "transform", None)
+        if tr is not None and getattr(tr, "mask_func", None) is not None:
+            tr.mask_func.rng.seed((self.seed + 1009 * epoch + self.rank) % (2**32 - 1))
+
+        idx = self._indices(epoch)
+        if self.drop_last:
+            idx = idx[: (len(idx) // self.batch_size) * self.batch_size]
+        for i in range(0, len(idx), self.batch_size):
+            chunk = idx[i : i + self.batch_size]
+            if not self.drop_last and len(chunk) < self.batch_size and len(idx) >= self.batch_size:
+                # pad the trailing batch so device sharding stays static
+                chunk = list(chunk) + idx[: self.batch_size - len(chunk)]
+            yield collate([self.dataset[j] for j in chunk])

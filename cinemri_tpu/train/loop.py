@@ -1,0 +1,218 @@
+"""Training / evaluation orchestration.
+
+Replaces the reference's Lightning Trainer wiring (train_test_varnet.py:286-297
++ pl_modules): epoch loop, per-volume metric aggregation, TensorBoard
+scalars and cine videos, best-checkpoint tracking on ``validation_loss``,
+resume, and the test-time SSIMs.csv artifact. One generic trainer covers all
+three model families (their Lightning modules differ only in batch fields).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+from typing import Callable, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from cinemri_tpu.parallel.mesh import shard_batch
+from cinemri_tpu.train.checkpoint import CheckpointManager
+from cinemri_tpu.train.logging import TrainLogger
+from cinemri_tpu.train.metrics_agg import MetricsAggregator
+from cinemri_tpu.train.optim import make_optimizer
+from cinemri_tpu.train.step import create_train_state, make_eval_step, make_train_step
+
+__all__ = ["TrainerConfig", "Trainer"]
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    """Defaults follow the reference train scripts (SURVEY Appendix B)."""
+
+    epochs: int = 150
+    lr: float = 1e-4
+    lr_step_size: int = 140
+    lr_gamma: float = 0.01
+    weight_decay: float = 0.0
+    seed: int = 42
+    ckpt_dir: Optional[Path] = None
+    log_dir: Optional[Path] = None
+    save_path: Optional[Path] = None  # SSIMs.csv / .npy artifacts
+    compute_train_metrics: bool = True
+    num_log_images: int = 1
+    max_checkpoints: int = 3
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        config: TrainerConfig,
+        train_loader=None,
+        val_loader=None,
+        test_loader=None,
+        mesh=None,
+        reduce_fn: Callable[[float], float] = lambda x: x,
+    ):
+        self.model = model
+        self.cfg = config
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.test_loader = test_loader
+        self.mesh = mesh
+        self.reduce_fn = reduce_fn
+        self.logger = TrainLogger(config.log_dir, enabled=config.log_dir is not None)
+        self.ckpt = (
+            CheckpointManager(config.ckpt_dir, config.max_checkpoints, "val_loss")
+            if config.ckpt_dir is not None
+            else None
+        )
+        self._train_step = make_train_step()
+        self._eval_step = make_eval_step()
+        self.state = None
+        self.history: List[Dict[str, float]] = []
+
+    # ------------------------------------------------------------------ setup
+
+    def init_state(self, example_batch):
+        steps_per_epoch = (
+            self.train_loader.steps_per_epoch() if self.train_loader else 1
+        )
+        tx = make_optimizer(
+            lr=self.cfg.lr,
+            lr_step_size=self.cfg.lr_step_size,
+            lr_gamma=self.cfg.lr_gamma,
+            weight_decay=self.cfg.weight_decay,
+            steps_per_epoch=steps_per_epoch,
+        )
+        arrays = shard_batch(example_batch, self.mesh)
+        self.state = create_train_state(
+            self.model, arrays, tx, rng=jax.random.PRNGKey(self.cfg.seed)
+        )
+        return self.state
+
+    def _ckpt_tree(self, epoch: int):
+        return {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "step": int(self.state.step),
+            "epoch": epoch,
+        }
+
+    def restore_latest(self, example_batch) -> int:
+        """Restore the newest checkpoint; returns the next epoch index."""
+        if self.state is None:
+            self.init_state(example_batch)
+        restored = self.ckpt.restore(self._ckpt_tree(0))
+        self.state = self.state.replace(
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+            step=int(restored["step"]),
+        )
+        return int(restored["epoch"]) + 1
+
+    def restore_best(self, example_batch):
+        if self.state is None:
+            self.init_state(example_batch)
+        step = self.ckpt.best_step if self.ckpt.best_step is not None else None
+        restored = self.ckpt.restore(self._ckpt_tree(0), step=step)
+        self.state = self.state.replace(params=restored["params"])
+        return self.state
+
+    # ------------------------------------------------------------------ loops
+
+    def _run_eval(self, loader, epoch: int, split: str, ssim_csv=None) -> Dict:
+        agg = MetricsAggregator(self.reduce_fn, ssim_csv_path=ssim_csv)
+        logged = 0
+        for batch in loader.epoch(epoch):
+            aux = self._eval_step(self.state, shard_batch(batch, self.mesh))
+            out = np.asarray(aux["output"])
+            tgt = np.asarray(aux["target"])
+            agg.update_batch(batch, out, tgt, loss=float(aux["loss"]))
+            if logged < self.cfg.num_log_images:
+                self.logger.cine_video(
+                    f"{split}_images_idx_{logged}", tgt[0], out[0], int(self.state.step)
+                )
+                logged += 1
+        metrics = agg.compute()
+        self.logger.scalars(
+            {f"{split}_metrics/{k}": v for k, v in metrics.items() if k != "loss"},
+            int(self.state.step),
+        )
+        if "loss" in metrics:
+            self.logger.scalars({f"{split}_loss": metrics["loss"]}, int(self.state.step))
+        return metrics
+
+    def fit(self, resume: bool = False) -> List[Dict[str, float]]:
+        assert self.train_loader is not None, "fit() needs a train loader"
+        first_batch = next(iter(self.train_loader.epoch(0)))
+        start_epoch = 0
+        if resume and self.ckpt is not None and self.ckpt.latest_step is not None:
+            start_epoch = self.restore_latest(first_batch)
+        elif self.state is None:
+            self.init_state(first_batch)
+
+        t0 = time.perf_counter()
+        for epoch in range(start_epoch, self.cfg.epochs):
+            agg = MetricsAggregator(self.reduce_fn)
+            for batch in self.train_loader.epoch(epoch):
+                arrays = shard_batch(batch, self.mesh)
+                self.state, aux = self._train_step(self.state, arrays)
+                if self.cfg.compute_train_metrics:
+                    agg.update_batch(
+                        batch,
+                        np.asarray(aux["output"]),
+                        np.asarray(aux["target"]),
+                        loss=float(aux["loss"]),
+                    )
+                else:
+                    agg.losses.append(float(aux["loss"]))
+
+            epoch_metrics = (
+                agg.compute()
+                if self.cfg.compute_train_metrics
+                else {"loss": float(np.mean(agg.losses))}
+            )
+            record = {f"train_{k}": v for k, v in epoch_metrics.items()}
+            self.logger.scalars(
+                {"training_loss": epoch_metrics.get("loss", 0.0)}, int(self.state.step)
+            )
+            self.logger.scalars(
+                {
+                    f"train_metrics/{k}": v
+                    for k, v in epoch_metrics.items()
+                    if k != "loss"
+                },
+                int(self.state.step),
+            )
+
+            if self.val_loader is not None:
+                val = self._run_eval(self.val_loader, epoch, "val")
+                record.update({f"val_{k}": v for k, v in val.items()})
+                self.logger.scalars(
+                    {"validation_loss": val.get("loss", 0.0)}, int(self.state.step)
+                )
+            record["epoch"] = epoch
+            self.history.append(record)
+
+            if self.ckpt is not None:
+                self.ckpt.save(
+                    epoch,
+                    self._ckpt_tree(epoch),
+                    metrics={"val_loss": record.get("val_loss", record.get("train_loss", 0.0))},
+                )
+        if self.ckpt is not None:
+            self.ckpt.wait()
+        self.train_time_hours = (time.perf_counter() - t0) / 3600.0
+        return self.history
+
+    def test(self, epoch: int = 0) -> Dict[str, float]:
+        assert self.test_loader is not None, "test() needs a test loader"
+        csv = (
+            Path(self.cfg.save_path) / "SSIMs.csv"
+            if self.cfg.save_path is not None
+            else None
+        )
+        return self._run_eval(self.test_loader, epoch, "test", ssim_csv=csv)

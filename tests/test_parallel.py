@@ -1,0 +1,126 @@
+"""Multi-chip tests on the virtual 8-device CPU mesh.
+
+The reference has zero distributed test coverage (SURVEY §4); these tests
+validate the TPU-native equivalents of its DP/DDP machinery: sharded-batch
+training steps whose gradients all-reduce across the mesh, volume-aware
+eval sharding, and psum'd metric reduction.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from cinemri_tpu.models import build_model
+from cinemri_tpu.parallel import batch_sharding, make_mesh, shard_batch
+from cinemri_tpu.train import create_train_state, make_optimizer, make_train_step
+
+TINY = dict(num_cascades=1, sens_chans=4, sens_pools=2, chans=4, pools=2)
+B, T, C, H, W = 8, 3, 2, 16, 16
+
+
+def _batch(rng, b=B):
+    k = (rng.standard_normal((b, T, C, H, W)) + 1j * rng.standard_normal((b, T, C, H, W))).astype(np.complex64)
+    m = np.zeros((b, T, 1, H, 1), np.float32)
+    m[:, :, :, H // 2 - 2 : H // 2 + 2] = 1
+    m[:, :, :, 1] = 1
+    m[:, :, :, H - 2] = 1
+    tgt = np.abs(k).mean(axis=2).astype(np.float32)
+    return {
+        "masked_kspace": k * m,
+        "mask": m,
+        "target": tgt,
+    }
+
+
+class TestMesh:
+    def test_eight_virtual_devices(self):
+        assert jax.device_count() == 8
+
+    def test_make_mesh_shapes(self):
+        mesh = make_mesh()
+        assert mesh.shape == {"data": 8}
+        mesh2 = make_mesh({"data": 2, "plane": 4})
+        assert mesh2.shape == {"data": 2, "plane": 4}
+        with pytest.raises(ValueError):
+            make_mesh({"data": 3})
+
+    def test_shard_batch_places_on_all_devices(self, rng):
+        mesh = make_mesh()
+        arrays = shard_batch(_batch(rng), mesh)
+        k = arrays["masked_kspace"]
+        assert len(k.sharding.device_set) == 8
+        assert k.sharding.spec == P("data")
+
+
+class TestDataParallelTraining:
+    def test_sharded_step_matches_single_device(self, rng):
+        """The mesh-sharded train step must produce the same loss and the
+        same updated params as the unsharded one (allreduce correctness)."""
+        batch = _batch(rng)
+        model = build_model("varnet", "XF", **TINY)
+        tx = make_optimizer(lr=1e-3, steps_per_epoch=1)
+
+        arrays_single = {k: jnp.asarray(v) for k, v in batch.items()}
+        state1 = create_train_state(model, arrays_single, tx)
+        step = make_train_step(donate=False)
+        s1, aux1 = step(state1, arrays_single)
+
+        mesh = make_mesh()
+        arrays_mesh = shard_batch(batch, mesh)
+        state2 = create_train_state(model, arrays_mesh, tx)
+        s2, aux2 = step(state2, arrays_mesh)
+
+        np.testing.assert_allclose(float(aux1["loss"]), float(aux2["loss"]), rtol=1e-5)
+        l1 = jax.tree.leaves(s1.params)
+        l2 = jax.tree.leaves(s2.params)
+        for a, b in zip(l1, l2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+    def test_multi_step_training_on_mesh(self, rng):
+        mesh = make_mesh()
+        batch = shard_batch(_batch(rng), mesh)
+        model = build_model("varnet", "2D", **TINY)
+        state = create_train_state(model, batch, make_optimizer(lr=3e-3, steps_per_epoch=1))
+        step = make_train_step(donate=False)
+        _, aux0 = step(state, batch)
+        for _ in range(5):
+            state, aux = step(state, batch)
+        assert float(aux["loss"]) < float(aux0["loss"])
+
+    def test_psum_metric_reduction(self):
+        """DistributedMetricSum equivalent: scalar sums across the mesh."""
+        mesh = make_mesh()
+
+        def per_device_metrics(x):
+            return jax.lax.psum(x, "data")
+
+        vals = jnp.arange(8.0)
+        out = jax.jit(
+            jax.shard_map(
+                per_device_metrics,
+                mesh=mesh,
+                in_specs=P("data"),
+                out_specs=P("data"),
+            )
+        )(vals)
+        np.testing.assert_allclose(np.asarray(out), np.full(8, 28.0))
+
+
+class TestSequenceParallelPlanes:
+    def test_xf_plane_batch_shards_over_second_axis(self, rng):
+        """The XT/XF rotated-plane batch (b·h planes) is embarrassingly
+        parallel: sharding it over a 'plane' mesh axis must not change the
+        result (SURVEY §5 long-context equivalence)."""
+        from cinemri_tpu.models.denoisers import NormUnet
+
+        mesh = make_mesh({"plane": 8})
+        x = (rng.standard_normal((16, 16, 8)) + 1j * rng.standard_normal((16, 16, 8))).astype(np.complex64)
+        net = NormUnet(chans=4, num_pools=2)
+        params = net.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+        out_rep = np.asarray(net.apply(params, jnp.asarray(x)))
+        xs = jax.device_put(x, batch_sharding(mesh, "plane"))
+        out_shard = np.asarray(jax.jit(lambda p, v: net.apply(p, v))(params, xs))
+        np.testing.assert_allclose(out_shard, out_rep, rtol=2e-4, atol=2e-5)

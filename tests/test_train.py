@@ -1,0 +1,199 @@
+"""Training-system tests: optimizer schedule, steps, metrics aggregation,
+checkpointing, and the end-to-end tiny-train smoke test."""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cinemri_tpu.data import RandomMask, SliceDataset, VarNetDataTransform
+from cinemri_tpu.data.synthetic import make_synthetic_dataset
+from cinemri_tpu.models import build_model
+from cinemri_tpu.train import (
+    CheckpointManager,
+    Loader,
+    MetricsAggregator,
+    Trainer,
+    TrainerConfig,
+    create_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    step_decay_schedule,
+)
+from cinemri_tpu.ops import metrics as M
+
+TINY = dict(num_cascades=2, sens_chans=4, sens_pools=2, chans=4, pools=2)
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("traindata")
+    return make_synthetic_dataset(
+        root,
+        splits=("train", "valid", "test"),
+        volumes_per_split=2,
+        num_frames=5,
+        num_coils=4,
+        h=32,
+        w=32,
+    )
+
+
+def _loader(data_root, split, tmp_path, shuffle=False, batch_size=1):
+    ds = SliceDataset(
+        data_root / split,
+        transform=VarNetDataTransform(RandomMask([6], [2]), use_seed=True),
+        maps_cache_dir=tmp_path / f"maps_{split}",
+    )
+    return Loader(ds, batch_size=batch_size, shuffle=shuffle)
+
+
+class TestOptim:
+    def test_step_decay_schedule(self):
+        s = step_decay_schedule(1e-4, step_size_epochs=2, gamma=0.1, steps_per_epoch=10)
+        assert s(0) == pytest.approx(1e-4)
+        assert s(19) == pytest.approx(1e-4)  # epoch 1
+        assert s(20) == pytest.approx(1e-5)  # epoch 2
+        assert s(45) == pytest.approx(1e-6)  # epoch 4
+
+    def test_weight_decay_matches_torch_adam_semantics(self):
+        import optax
+
+        params = {"w": jnp.asarray([2.0])}
+        grads = {"w": jnp.asarray([0.0])}
+        tx = make_optimizer(lr=0.1, weight_decay=0.5, steps_per_epoch=1, lr_step_size=1000)
+        st = tx.init(params)
+        # zero gradient + weight decay → the effective gradient is wd·θ ≠ 0
+        updates, _ = tx.update(grads, st, params)
+        assert float(jnp.abs(updates["w"][0])) > 0
+
+
+class TestStepsAndMetrics:
+    def test_train_step_decreases_loss(self, data_root, tmp_path):
+        loader = _loader(data_root, "train", tmp_path)
+        batch = next(iter(loader.epoch(0)))
+        arrays = {k: jnp.asarray(batch[k]) for k in ("masked_kspace", "mask", "target")}
+        model = build_model("varnet", "XF", **TINY)
+        tx = make_optimizer(lr=3e-3, steps_per_epoch=1)
+        state = create_train_state(model, arrays, tx)
+        step = make_train_step(donate=False)
+        state, aux0 = step(state, arrays)
+        for _ in range(8):
+            state, aux = step(state, arrays)
+        assert float(aux["loss"]) < float(aux0["loss"])
+        assert np.isfinite(float(aux["grad_norm"]))
+
+    def test_metrics_aggregator_matches_reference_recipe(self, rng):
+        agg = MetricsAggregator()
+        vols = {}
+        for fname in ("a", "b"):
+            for sl in range(2):
+                tgt = rng.random((3, 24, 24)).astype(np.float32)
+                out = tgt + 0.05 * rng.standard_normal((3, 24, 24)).astype(np.float32)
+                maxv = tgt.max()
+                agg.update(fname, sl, out, tgt, maxv)
+                vols.setdefault(fname, []).append((tgt, out, maxv))
+        got = agg.compute()
+        # recompute by hand (mri_module.py:180-205)
+        nmse = psnr = ssim = 0.0
+        for fname, entries in vols.items():
+            mses = [M.mse(t, o) for t, o, _ in entries]
+            norms = [M.mse(t, np.zeros_like(t)) for t, o, _ in entries]
+            maxv = entries[-1][2]
+            nmse += np.mean(mses) / np.mean(norms)
+            psnr += 20 * np.log10(maxv) - 10 * np.log10(np.mean(mses))
+            ssim += np.mean([M.ssim(t, o, maxval=mv) for t, o, mv in entries])
+        np.testing.assert_allclose(got["nmse"], nmse / 2, rtol=1e-6)
+        np.testing.assert_allclose(got["psnr"], psnr / 2, rtol=1e-6)
+        np.testing.assert_allclose(got["ssim"], ssim / 2, rtol=1e-6)
+
+    def test_aggregator_duplicate_slices_overwrite(self, rng):
+        agg = MetricsAggregator()
+        tgt = rng.random((2, 16, 16)).astype(np.float32)
+        agg.update("a", 0, tgt * 0.5, tgt, tgt.max())
+        agg.update("a", 0, tgt, tgt, tgt.max())  # duplicate wins
+        assert agg.compute()["ssim"] == pytest.approx(1.0)
+
+    def test_ssim_csv_artifact(self, tmp_path, rng):
+        csv_path = tmp_path / "SSIMs.csv"
+        agg = MetricsAggregator(ssim_csv_path=csv_path)
+        tgt = rng.random((2, 16, 16)).astype(np.float32)
+        agg.update("a", 0, tgt, tgt, tgt.max())
+        agg.update("a", 1, tgt, tgt, tgt.max())
+        lines = csv_path.read_text().strip().splitlines()
+        assert len(lines) == 2
+        assert float(lines[0]) == pytest.approx(1.0)
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        mgr = CheckpointManager(tmp_path / "ckpt", monitor="val_loss")
+        tree = {"params": {"w": jnp.arange(4.0)}, "step": 7, "epoch": 1}
+        mgr.save(1, tree, metrics={"val_loss": 0.9})
+        mgr.save(2, {**tree, "step": 9}, metrics={"val_loss": 0.4})
+        mgr.save(3, {**tree, "step": 11}, metrics={"val_loss": 0.6})
+        mgr.wait()
+        assert mgr.latest_step == 3
+        assert mgr.best_step == 2  # min val_loss
+        restored = mgr.restore(tree, step=mgr.best_step)
+        assert int(restored["step"]) == 9
+        np.testing.assert_array_equal(np.asarray(restored["params"]["w"]), np.arange(4.0))
+
+    def test_restore_missing_raises(self, tmp_path):
+        mgr = CheckpointManager(tmp_path / "empty")
+        with pytest.raises(FileNotFoundError):
+            mgr.restore({"x": jnp.zeros(1)})
+
+
+class TestEndToEnd:
+    def test_tiny_train_improves_over_zero_filled(self, data_root, tmp_path):
+        """Smoke train: 3 epochs of tiny VarNet-XF on the synthetic set must
+        beat the pre-training model on SSIM and drive the loss down."""
+        cfg = TrainerConfig(
+            epochs=3,
+            lr=3e-3,
+            ckpt_dir=tmp_path / "ckpt",
+            log_dir=None,
+            compute_train_metrics=False,
+        )
+        trainer = Trainer(
+            build_model("varnet", "XF", **TINY),
+            cfg,
+            train_loader=_loader(data_root, "train", tmp_path, shuffle=True),
+            val_loader=_loader(data_root, "valid", tmp_path),
+            test_loader=_loader(data_root, "test", tmp_path),
+        )
+        history = trainer.fit()
+        assert len(history) == 3
+        assert history[-1]["train_loss"] < history[0]["train_loss"]
+        test_metrics = trainer.test()
+        assert 0 < test_metrics["ssim"] <= 1
+        assert (tmp_path / "ckpt").exists()
+
+    def test_resume_continues_from_checkpoint(self, data_root, tmp_path):
+        cfg = TrainerConfig(
+            epochs=2, lr=1e-3, ckpt_dir=tmp_path / "c2", compute_train_metrics=False
+        )
+        t1 = Trainer(
+            build_model("varnet", "2D", **TINY),
+            cfg,
+            train_loader=_loader(data_root, "train", tmp_path),
+        )
+        t1.fit()
+        step_after = int(t1.state.step)
+
+        cfg2 = TrainerConfig(
+            epochs=3, lr=1e-3, ckpt_dir=tmp_path / "c2", compute_train_metrics=False
+        )
+        t2 = Trainer(
+            build_model("varnet", "2D", **TINY),
+            cfg2,
+            train_loader=_loader(data_root, "train", tmp_path),
+        )
+        history = t2.fit(resume=True)
+        # only the remaining epoch runs, starting from the saved step
+        assert len(history) == 1
+        assert int(t2.state.step) > step_after
