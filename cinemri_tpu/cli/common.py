@@ -1,0 +1,242 @@
+"""Shared CLI plumbing for the three train/test entry points.
+
+Parity target: reference traintest_scripts/{varnet,cinenet,xpdnet}/
+train_test_*.py — argument surface, per-model defaults (SURVEY Appendix B),
+mode dispatch (train / test / inference), checkpoint resume semantics.
+Differences by design: unified ``--center_lines`` vs ``--center_fractions``
+semantics are kept as in the reference (count for random masks, fraction
+for equispaced — documented in data/masks.py), and the ``dirs_path.yaml``
+location is an argument instead of a hardcoded absolute path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+from typing import Dict
+
+from cinemri_tpu.data import (
+    CineNetDataTransform,
+    SliceDataset,
+    VarNetDataTransform,
+    XPDNetDataTransform,
+    create_mask_for_mask_type,
+)
+from cinemri_tpu.models import build_model
+from cinemri_tpu.train import Loader, Trainer, TrainerConfig
+from cinemri_tpu.utils.paths import fetch_dir
+
+__all__ = ["build_parser", "train_test_main"]
+
+TRANSFORMS = {
+    "varnet": VarNetDataTransform,
+    "cinenet": CineNetDataTransform,
+    "xpdnet": XPDNetDataTransform,
+}
+
+MODEL_DEFAULTS: Dict[str, Dict] = {
+    # reference per-script set_defaults (train_test_varnet.py:249-262 etc.)
+    "varnet": dict(num_cascades=10, pools=3, chans=16, sens_pools=3, sens_chans=8),
+    "cinenet": dict(num_cascades=10, CG_iters=6, chans=16, pools=3),
+    "xpdnet": dict(
+        num_cascades=9,
+        sens_chans=8,
+        sens_pools=3,
+        crnn_chans=18,
+        n_scales=3,
+        n_filters_per_scale=[16, 32, 64],
+        n_convs_per_scale=[2, 2, 2],
+        n_first_convs=1,
+        first_conv_n_filters=16,
+        res=False,
+        primal_only=True,
+        n_primal=5,
+        n_dual=1,
+    ),
+}
+
+
+def build_parser(family: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=f"Train/test dynamic {family} on TPU")
+
+    # basic args (train_test_varnet.py:158-205)
+    p.add_argument("--mode", default="train", choices=("train", "test"))
+    p.add_argument("--epochs", default=150, type=int)
+    p.add_argument("--save_checkpoint", default=0, choices=(0, 1), type=int)
+    p.add_argument("--resume_training", default=0, choices=(0, 1), type=int)
+    p.add_argument("--load_model", default=0, choices=(0, 1), type=int)
+    p.add_argument("--inference", default=1, choices=(0, 1), type=int)
+
+    # mask args (train_test_varnet.py:208-229)
+    p.add_argument("--mask_type", default="random", choices=("random", "equispaced"))
+    p.add_argument(
+        "--center_fractions",
+        nargs="+",
+        default=[10],
+        type=float,
+        help="Random mask: COUNT of central lines; equispaced: FRACTION",
+    )
+    p.add_argument("--accelerations", nargs="+", default=[4], type=int)
+
+    # data args (data_module.py:252-315)
+    p.add_argument("--path_config", default="dirs_path.yaml", type=Path)
+    p.add_argument("--data_path", default=None, type=Path)
+    p.add_argument("--test_path", default=None, type=Path)
+    p.add_argument("--test_split", default="test", choices=("test", "challenge"))
+    p.add_argument("--sample_rate", default=None, type=float)
+    p.add_argument("--volume_sample_rate", default=None, type=float)
+    p.add_argument("--use_dataset_cache_file", default=True, type=bool)
+    p.add_argument("--combine_train_val", default=False, type=bool)
+    p.add_argument("--batch_size", default=1, type=int)
+    p.add_argument("--maps_cache_dir", default=None, type=Path,
+                   help="Cache dir for preprocessed volumes + ESPIRiT maps")
+
+    # model args (varnet_module.py:161-239 etc.)
+    for k, v in MODEL_DEFAULTS[family].items():
+        if isinstance(v, list):
+            p.add_argument(f"--{k}", nargs="+", default=v, type=type(v[0]))
+        elif isinstance(v, bool):
+            p.add_argument(f"--{k}", default=v, type=lambda s: s in ("1", "true", "True"))
+        else:
+            p.add_argument(f"--{k}", default=v, type=type(v))
+    p.add_argument("--dynamic_type", default="XF",
+                   choices=("XF", "XT", "2D", "3D", "CRNN"))
+    p.add_argument("--weight_sharing", default=False,
+                   type=lambda s: s in ("1", "true", "True"))
+
+    # optimizer args (script defaults lr=1e-4, StepLR(140, 0.01))
+    p.add_argument("--lr", default=1e-4, type=float)
+    p.add_argument("--lr_step_size", default=140, type=int)
+    p.add_argument("--lr_gamma", default=0.01, type=float)
+    p.add_argument("--weight_decay", default=0.0, type=float)
+    p.add_argument("--seed", default=42, type=int)
+    p.add_argument("--num_log_images", default=1, type=int)
+    return p
+
+
+def _build_model_from_args(family: str, args) -> object:
+    if family == "varnet":
+        kwargs = (
+            dict(num_cascades=args.num_cascades, sens_chans=args.sens_chans,
+                 sens_pools=args.sens_pools, chans=args.chans)
+            if args.dynamic_type == "CRNN"
+            else dict(num_cascades=args.num_cascades, sens_chans=args.sens_chans,
+                      sens_pools=args.sens_pools, chans=args.chans, pools=args.pools,
+                      weight_sharing=args.weight_sharing)
+        )
+    elif family == "cinenet":
+        kwargs = (
+            dict(num_cascades=args.num_cascades, cg_iters=args.CG_iters,
+                 chans=args.chans)
+            if args.dynamic_type == "CRNN"
+            else dict(num_cascades=args.num_cascades, cg_iters=args.CG_iters,
+                      chans=args.chans, pools=args.pools,
+                      weight_sharing=args.weight_sharing)
+        )
+    else:  # xpdnet
+        kwargs = (
+            dict(num_cascades=args.num_cascades, sens_chans=args.sens_chans,
+                 sens_pools=args.sens_pools, chans=args.crnn_chans,
+                 primal_only=args.primal_only, n_primal=args.n_primal,
+                 n_dual=args.n_dual)
+            if args.dynamic_type == "CRNN"
+            else dict(num_cascades=args.num_cascades, sens_chans=args.sens_chans,
+                      sens_pools=args.sens_pools, n_scales=args.n_scales,
+                      n_filters_per_scale=tuple(args.n_filters_per_scale),
+                      n_convs_per_scale=tuple(args.n_convs_per_scale),
+                      n_first_convs=args.n_first_convs,
+                      first_conv_n_filters=args.first_conv_n_filters, res=args.res,
+                      primal_only=args.primal_only, n_primal=args.n_primal,
+                      n_dual=args.n_dual, weight_sharing=args.weight_sharing)
+        )
+    return build_model(family, args.dynamic_type, **kwargs)
+
+
+def train_test_main(family: str, argv=None) -> Dict:
+    """The reference's train_test_main (train_test_varnet.py:22-136)."""
+    args = build_parser(family).parse_args(argv)
+
+    data_path = args.data_path or fetch_dir("data_path", args.path_config)
+    save_path = fetch_dir("save_path", args.path_config)
+    log_root = fetch_dir("log_path", args.path_config) / family / f"{family}_logs"
+    ckpt_dir = log_root / "checkpoints"
+
+    mask_func = create_mask_for_mask_type(
+        args.mask_type, args.center_fractions, args.accelerations
+    )
+    transform = TRANSFORMS[family](mask_func=mask_func, use_seed=False)
+
+    def make_loader(split, shuffle):
+        root = args.test_path if (split == args.test_split and args.test_path) else data_path / split
+        ds = SliceDataset(
+            root,
+            transform=transform,
+            sample_rate=args.sample_rate if split == "train" else None,
+            volume_sample_rate=args.volume_sample_rate if split == "train" else None,
+            maps_cache_dir=args.maps_cache_dir,
+        )
+        return Loader(ds, batch_size=args.batch_size, shuffle=shuffle, seed=args.seed)
+
+    model = _build_model_from_args(family, args)
+    cfg = TrainerConfig(
+        epochs=args.epochs,
+        lr=args.lr,
+        lr_step_size=args.lr_step_size,
+        lr_gamma=args.lr_gamma,
+        weight_decay=args.weight_decay,
+        seed=args.seed,
+        ckpt_dir=ckpt_dir,
+        log_dir=log_root / "tensorboard",
+        save_path=save_path,
+        num_log_images=args.num_log_images,
+    )
+    trainer = Trainer(
+        model,
+        cfg,
+        train_loader=make_loader("train", shuffle=True),
+        val_loader=make_loader("valid", shuffle=False),
+        test_loader=make_loader(args.test_split, shuffle=False),
+    )
+
+    results: Dict = {}
+    if args.mode == "train":
+        print(
+            f"Training {family} {args.dynamic_type} with {args.num_cascades} "
+            f"cascades for {args.epochs} epochs.\nData is subsampled with a "
+            f"{args.mask_type} mask, acceleration {args.accelerations[0]}."
+        )
+        t0 = time.perf_counter()
+        results["history"] = trainer.fit(resume=bool(args.resume_training))
+        print(f"Training time: {(time.perf_counter() - t0) / 3600.} hours")
+        if args.save_checkpoint:
+            trainer.ckpt.save(args.epochs, trainer._ckpt_tree(args.epochs))
+            trainer.ckpt.wait()
+    elif args.mode == "test":
+        first = next(iter(trainer.test_loader.epoch(0)))
+        from cinemri_tpu.parallel.mesh import shard_batch
+
+        if args.load_model:
+            trainer.init_state(shard_batch(first, None))
+            trainer.restore_latest(shard_batch(first, None))
+        else:
+            trainer.init_state(shard_batch(first, None))
+        results["test_metrics"] = trainer.test()
+        print("test metrics:", results["test_metrics"])
+
+        if args.inference:
+            from cinemri_tpu.cli.inference import InferenceRunner
+
+            inf_ds = SliceDataset(
+                data_path / "inference",
+                transform=transform,
+                maps_cache_dir=args.maps_cache_dir,
+            )
+            runner = InferenceRunner(model, trainer.state.params, family, save_path)
+            total = 0.0
+            print("Starting inference..............")
+            for batch in Loader(inf_ds, batch_size=1).epoch(0):
+                total += runner(batch)
+            print(f"Elapsed time: {total} seconds.")
+            results["inference_seconds"] = total
+    return results

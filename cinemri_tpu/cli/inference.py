@@ -1,0 +1,68 @@
+"""Timed inference runner producing the reference's .npy artifact set.
+
+Parity target: reference traintest_scripts/run_inference.py:13-82 — for each
+inference volume: a timed model forward (the reference's only latency
+benchmark), a zero-filled RSS baseline reconstruction, center-crop
+alignment, and ``target_*.npy`` / ``output_{model}_*.npy`` /
+``zero_filled_*.npy`` dumps consumed by the visualization notebook.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cinemri_tpu.data.transforms import center_crop_to_smallest
+from cinemri_tpu.ops.coil import rss_complex
+from cinemri_tpu.ops.fft import ifft2c
+
+__all__ = ["InferenceRunner", "zero_filled_recon"]
+
+
+def zero_filled_recon(masked_kspace: jnp.ndarray) -> jnp.ndarray:
+    """Zero-filled RSS baseline (run_inference.py:64-67): unnormalized IFFT
+    rescaled by sqrt(h*w), then RSS over coils."""
+    h, w = masked_kspace.shape[-2:]
+    images = ifft2c(masked_kspace, norm="backward") * np.sqrt(h * w)
+    return rss_complex(images, axis=2)
+
+
+class InferenceRunner:
+    """Runs a trained model over the inference split and saves artifacts."""
+
+    def __init__(self, model, params, model_type: str, save_path: Path):
+        assert model_type in ("varnet", "cinenet", "xpdnet"), "Wrong model_type arg."
+        self.model_type = model_type
+        self.save_path = Path(save_path)
+        self.save_path.mkdir(parents=True, exist_ok=True)
+        self.params = params
+        self._forward = jax.jit(lambda p, *args: model.apply(p, *args))
+
+    def __call__(self, batch: Dict) -> float:
+        """Returns the forward wall-clock seconds (device-synchronized)."""
+        args = [jnp.asarray(batch["masked_kspace"]), jnp.asarray(batch["mask"])]
+        if self.model_type == "cinenet":
+            args.append(jnp.asarray(batch["sens_maps"]))
+
+        t0 = time.perf_counter()
+        output = self._forward(self.params, *args)
+        output.block_until_ready()
+        elapsed = time.perf_counter() - t0
+
+        target = np.asarray(batch["target"], np.float32)
+        output = np.asarray(output, np.float32)
+        zero_filled = np.asarray(zero_filled_recon(args[0]), np.float32)
+
+        target, output = center_crop_to_smallest(target, output)
+        target, zero_filled = center_crop_to_smallest(target, zero_filled)
+
+        fname = batch["fname"][0]
+        np.save(self.save_path / f"target_{fname}.npy", target[0])
+        np.save(self.save_path / f"output_{self.model_type}_{fname}.npy", output[0])
+        np.save(self.save_path / f"zero_filled_{fname}.npy", zero_filled[0])
+        return elapsed

@@ -1,0 +1,5 @@
+"""Shared utilities: path config, instrumentation re-exports."""
+
+from cinemri_tpu.utils.paths import fetch_dir, DEFAULT_CONFIG
+
+__all__ = ["fetch_dir", "DEFAULT_CONFIG"]

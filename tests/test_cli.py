@@ -1,0 +1,123 @@
+"""End-to-end CLI tests: train -> test -> inference through the real entry
+points on a synthetic dataset (the reference's full L4 call stack)."""
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+from cinemri_tpu.cli.common import build_parser, train_test_main
+from cinemri_tpu.data.synthetic import make_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    make_synthetic_dataset(
+        root / "data",
+        splits=("train", "valid", "test", "inference"),
+        volumes_per_split=1,
+        num_frames=4,
+        num_coils=3,
+        h=32,
+        w=32,
+    )
+    cfgpath = root / "dirs_path.yaml"
+    with open(cfgpath, "w") as f:
+        yaml.dump(
+            {
+                "data_path": str(root / "data"),
+                "log_path": str(root / "logs"),
+                "save_path": str(root / "results"),
+            },
+            f,
+        )
+    return root
+
+
+TINY_ARGS = [
+    "--epochs", "1",
+    "--num_cascades", "1",
+    "--batch_size", "1",
+    "--center_fractions", "6",
+    "--accelerations", "2",
+]
+
+
+class TestParser:
+    @pytest.mark.parametrize("family", ["varnet", "cinenet", "xpdnet"])
+    def test_defaults_match_reference(self, family):
+        args = build_parser(family).parse_args([])
+        assert args.epochs == 150
+        assert args.lr == 1e-4 and args.lr_step_size == 140 and args.lr_gamma == 0.01
+        assert args.mask_type == "random"
+        assert args.center_fractions == [10] and args.accelerations == [4]
+        if family == "varnet":
+            assert args.num_cascades == 10 and args.chans == 16 and args.pools == 3
+            assert args.sens_chans == 8 and args.sens_pools == 3
+        if family == "cinenet":
+            assert args.num_cascades == 10 and args.CG_iters == 6
+        if family == "xpdnet":
+            assert args.num_cascades == 9 and args.n_primal == 5
+            assert args.n_filters_per_scale == [16, 32, 64]
+            assert args.primal_only is True
+
+
+class TestTrainTestFlow:
+    def test_varnet_train_then_test_with_inference(self, workdir):
+        common = TINY_ARGS + [
+            "--path_config", str(workdir / "dirs_path.yaml"),
+            "--maps_cache_dir", str(workdir / "maps"),
+            "--chans", "4",
+            "--sens_chans", "4", "--sens_pools", "2", "--pools", "2",
+            "--dynamic_type", "XF",
+        ]
+        out = train_test_main("varnet", common + ["--mode", "train", "--save_checkpoint", "1"])
+        assert len(out["history"]) == 1
+        assert np.isfinite(out["history"][0]["train_loss"])
+
+        out = train_test_main(
+            "varnet", common + ["--mode", "test", "--load_model", "1", "--inference", "1"]
+        )
+        m = out["test_metrics"]
+        assert set(m) >= {"nmse", "ssim", "psnr", "loss"}
+        assert 0 < m["ssim"] <= 1
+        # SSIMs.csv artifact + .npy artifact set
+        assert (workdir / "results" / "SSIMs.csv").exists()
+        npys = list((workdir / "results").glob("*.npy"))
+        kinds = {p.name.split("_")[0] for p in npys}
+        assert {"target", "output", "zero"} <= kinds
+        assert out["inference_seconds"] > 0
+
+    def test_cinenet_smoke(self, workdir):
+        out = train_test_main(
+            "cinenet",
+            TINY_ARGS
+            + [
+                "--path_config", str(workdir / "dirs_path.yaml"),
+                "--maps_cache_dir", str(workdir / "maps"),
+                "--chans", "4", "--pools", "2", "--CG_iters", "2",
+                "--dynamic_type", "2D",
+                "--mode", "train",
+            ],
+        )
+        assert np.isfinite(out["history"][0]["train_loss"])
+
+    def test_xpdnet_smoke(self, workdir):
+        out = train_test_main(
+            "xpdnet",
+            TINY_ARGS
+            + [
+                "--path_config", str(workdir / "dirs_path.yaml"),
+                "--maps_cache_dir", str(workdir / "maps"),
+                "--sens_chans", "4", "--sens_pools", "2",
+                "--n_scales", "2", "--first_conv_n_filters", "4",
+                "--n_filters_per_scale", "4", "8",
+                "--n_primal", "2",
+                "--dynamic_type", "XF",
+                "--mode", "train",
+            ],
+        )
+        assert np.isfinite(out["history"][0]["train_loss"])
