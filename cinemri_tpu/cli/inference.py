@@ -14,22 +14,23 @@ from pathlib import Path
 from typing import Dict, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from cinemri_tpu.data.transforms import center_crop_to_smallest
-from cinemri_tpu.ops.coil import rss_complex
-from cinemri_tpu.ops.fft import ifft2c
+from cinemri_tpu.ops.cplx import from_complex
 
 __all__ = ["InferenceRunner", "zero_filled_recon"]
 
 
-def zero_filled_recon(masked_kspace: jnp.ndarray) -> jnp.ndarray:
+def zero_filled_recon(masked_kspace: np.ndarray) -> np.ndarray:
     """Zero-filled RSS baseline (run_inference.py:64-67): unnormalized IFFT
-    rescaled by sqrt(h*w), then RSS over coils."""
+    rescaled by sqrt(h*w), then RSS over coils. Host-side numpy (this is a
+    save-path artifact, not a compute-path op)."""
     h, w = masked_kspace.shape[-2:]
-    images = ifft2c(masked_kspace, norm="backward") * np.sqrt(h * w)
-    return rss_complex(images, axis=2)
+    images = np.fft.fftshift(
+        np.fft.ifft2(np.fft.ifftshift(masked_kspace, axes=(-2, -1))), axes=(-2, -1)
+    ) * np.sqrt(h * w)
+    return np.sqrt((np.abs(images) ** 2).sum(axis=2))
 
 
 class InferenceRunner:
@@ -45,9 +46,11 @@ class InferenceRunner:
 
     def __call__(self, batch: Dict) -> float:
         """Returns the forward wall-clock seconds (device-synchronized)."""
-        args = [jnp.asarray(batch["masked_kspace"]), jnp.asarray(batch["mask"])]
+        import jax.numpy as jnp
+
+        args = [from_complex(batch["masked_kspace"]), jnp.asarray(batch["mask"])]
         if self.model_type == "cinenet":
-            args.append(jnp.asarray(batch["sens_maps"]))
+            args.append(from_complex(batch["sens_maps"]))
 
         t0 = time.perf_counter()
         output = self._forward(self.params, *args)
@@ -56,7 +59,9 @@ class InferenceRunner:
 
         target = np.asarray(batch["target"], np.float32)
         output = np.asarray(output, np.float32)
-        zero_filled = np.asarray(zero_filled_recon(args[0]), np.float32)
+        zero_filled = np.asarray(
+            zero_filled_recon(np.asarray(batch["masked_kspace"])), np.float32
+        )
 
         target, output = center_crop_to_smallest(target, output)
         target, zero_filled = center_crop_to_smallest(target, zero_filled)

@@ -1,47 +1,44 @@
-"""ESPIRiT coil-sensitivity calibration, JAX-native.
+"""ESPIRiT coil-sensitivity calibration (host-side numpy).
 
 Replaces the reference's external BART C toolbox calls
 (``bart.bart(2, 'ecalib -r 200', ...)`` at reconstruction/data/mri_data.py:294-298
 for target synthesis, and ``'ecalib -r 15'`` at data/transforms.py:425-432 for
 CineNet input maps). The reference shells out to native C inside every
 ``__getitem__`` — the dominant data-path cost (SURVEY §3.4). Here calibration
-is a jitted XLA program, so maps can be computed on-accelerator and cached.
+is a deterministic host-side precompute whose results the dataset caches per
+volume (data/dataset.py), so it runs once, not once per epoch per sample.
+It deliberately lives on the host: the products (maps, targets) are training
+*inputs*, and the eigen-decompositions involved are a poor fit for
+accelerator backends without complex support. A C++ implementation of the
+same algorithm ships in :mod:`cinemri_tpu.native` for Python-free pipelines.
 
-Algorithm (Uecker et al., "ESPIRiT — An Eigenvalue Approach to Autocalibrating
-Parallel MRI", MRM 2014), with two structural choices that make it
-static-shaped and TPU-friendly:
+Algorithm (Uecker et al., "ESPIRiT — An Eigenvalue Approach to
+Autocalibrating Parallel MRI", MRM 2014), with two structural choices:
 
   1. **Gram trick.** Instead of the SVD of the tall block-Hankel calibration
      matrix A (``(positions) x (c*k*k)``), take ``eigh`` of the small Gram
-     matrix AᴴA (``(c*k*k)²``). The signal subspace is selected by a 0/1
-     weight per eigenvector (``σ > thresh·σ_max``) rather than by slicing a
-     data-dependent number of columns — shapes stay static under jit.
+     matrix AᴴA; the signal subspace is selected by a 0/1 weight per
+     eigenvector (``σ > thresh·σ_max``).
   2. **Autocorrelation FFTs.** The pointwise operator
-     ``G(x) = Σ_k V_k(x) V_k(x)ᴴ`` is not assembled from per-kernel image
-     transforms (K·c full-size IFFTs and a (K,c,h,w) intermediate). With
-     ``P = Σ_k w_k v_k v_kᴴ`` the projector onto the signal subspace,
-     ``G_cc'(x)`` is the inverse DFT of the kernel autocorrelation
-     ``Q_cc'(Δ) = Σ_δ P[(c,δ+Δ),(c',δ)]`` — support only ``(2k-1)²`` — so G
-     costs c² small FFTs and one tiny matmul regardless of kernel count.
+     ``G(x) = Σ_k V_k(x) V_k(x)ᴴ`` is assembled from the kernel
+     autocorrelation ``Q_cc'(Δ) = Σ_δ P[(c,δ+Δ),(c',δ)]`` (support
+     ``(2k-1)²``) via c² small inverse FFTs — independent of how many
+     kernels are in the signal subspace.
 
 Per-pixel maps are the top eigenvector of G (batched ``eigh``), unit-norm,
 phase-referenced to coil 0, hard-cropped where the top eigenvalue is below
-``crop`` (BART ecalib's default crop behavior; defaults ``kernel_size=6``,
-``thresh=0.001``, ``crop=0.8`` match BART's ``-k/-t/-c``).
+``crop`` (defaults ``kernel_size=6``, ``thresh=0.001``, ``crop=0.8`` match
+BART ecalib's ``-k/-t/-c``).
 """
 
 from __future__ import annotations
 
-from functools import partial
-
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["espirit_maps", "calibration_matrix_gram"]
 
 
-def _extract_calib(kspace: jnp.ndarray, calib_size: int) -> jnp.ndarray:
+def _extract_calib(kspace: np.ndarray, calib_size: int) -> np.ndarray:
     """Center-crop the calibration region from (c, h, w) k-space."""
     c, h, w = kspace.shape
     ch = min(calib_size, h)
@@ -51,7 +48,7 @@ def _extract_calib(kspace: jnp.ndarray, calib_size: int) -> jnp.ndarray:
     return kspace[:, h0 : h0 + ch, w0 : w0 + cw]
 
 
-def calibration_matrix_gram(calib: jnp.ndarray, k: int) -> jnp.ndarray:
+def calibration_matrix_gram(calib: np.ndarray, k: int) -> np.ndarray:
     """Gram matrix AᴴA of the block-Hankel calibration matrix.
 
     ``calib``: (c, ch, cw); returns ``(c*k*k, c*k*k)`` Hermitian, with the
@@ -59,80 +56,33 @@ def calibration_matrix_gram(calib: jnp.ndarray, k: int) -> jnp.ndarray:
     """
     c, ch, cw = calib.shape
     nh, nw = ch - k + 1, cw - k + 1
-    cols = []
-    for dy in range(k):
-        for dx in range(k):
-            cols.append(calib[:, dy : dy + nh, dx : dx + nw].reshape(c, nh * nw))
-    # Aᵀ with row order (coil, dy, dx): (c, k*k, positions) -> (c*k*k, positions)
-    at = jnp.stack(cols, axis=1).reshape(c * k * k, nh * nw)
-    return at @ at.conj().T  # (ckk, ckk); MXU matmul
+    cols = [
+        calib[:, dy : dy + nh, dx : dx + nw].reshape(c, nh * nw)
+        for dy in range(k)
+        for dx in range(k)
+    ]
+    at = np.stack(cols, axis=1).reshape(c * k * k, nh * nw)
+    return at @ at.conj().T
 
 
-def _autocorrelation(p: jnp.ndarray, c: int, k: int) -> jnp.ndarray:
+def _autocorrelation(p: np.ndarray, c: int, k: int) -> np.ndarray:
     """Q_cc'(Δ) = Σ_δ P[(c, δ+Δ), (c', δ)]; output (c, c, 2k-1, 2k-1)."""
     pr = p.reshape(c, k, k, c, k, k)
-    out = []
+    q = np.zeros((c, c, 2 * k - 1, 2 * k - 1), dtype=p.dtype)
     for dy in range(-k + 1, k):
-        row = []
-        ys = slice(max(0, dy), min(k, k + dy))  # valid δy + Δy range
+        ys = slice(max(0, dy), min(k, k + dy))
         yd = slice(max(0, -dy), min(k, k - dy))
         for dx in range(-k + 1, k):
             xs = slice(max(0, dx), min(k, k + dx))
             xd = slice(max(0, -dx), min(k, k - dx))
-            # sum over δ of P[(c, δ+Δ), (c', δ)] — paired (diagonal) offsets
-            row.append(jnp.einsum("cyxdyx->cd", pr[:, ys, xs, :, yd, xd]))
-        out.append(jnp.stack(row, axis=-1))
-    return jnp.stack(out, axis=-2)  # (c, c, 2k-1, 2k-1)
-
-
-@partial(jax.jit, static_argnames=("calib_size", "kernel_size"))
-def _espirit_impl(
-    kspace: jnp.ndarray,
-    calib_size: int,
-    kernel_size: int,
-    thresh: float,
-    crop: float,
-):
-    c, h, w = kspace.shape
-    k = kernel_size
-
-    calib = _extract_calib(kspace, calib_size)
-    gram = calibration_matrix_gram(calib, k)
-
-    evals, evecs = jnp.linalg.eigh(gram)  # ascending; evals = σ²
-    sig = evals > (thresh ** 2) * evals[-1]
-    weights = sig.astype(gram.dtype)
-    # projector onto the signal subspace of the row space of A
-    p = (evecs * weights[None, :]) @ evecs.conj().T  # (ckk, ckk)
-
-    q = _autocorrelation(p, c, k)  # (c, c, 2k-1, 2k-1)
-
-    # place Q(Δ) at frequency indices Δ mod N and inverse-DFT:
-    # G_cc'(x) = (1/k²) Σ_Δ Q(Δ) e^{2πiΔ·x/N}
-    grid = jnp.zeros((c, c, h, w), dtype=kspace.dtype)
-    dy = (jnp.arange(-k + 1, k)) % h
-    dx = (jnp.arange(-k + 1, k)) % w
-    grid = grid.at[:, :, dy[:, None], dx[None, :]].set(q)
-    g = jnp.fft.ifft2(grid, axes=(-2, -1)) * (h * w) / (k * k)
-    # align with the centered-image convention of ifft2c (origin at center)
-    g = jnp.fft.fftshift(g, axes=(-2, -1))
-    g = jnp.moveaxis(g, (0, 1), (2, 3))  # (h, w, c, c)
-    # enforce hermitian symmetry lost to fp rounding
-    g = 0.5 * (g + jnp.conj(jnp.swapaxes(g, -1, -2)))
-
-    evals_g, evecs_g = jnp.linalg.eigh(g)  # (h, w, c) asc / (h, w, c, c)
-    top_val = evals_g[..., -1].real
-    maps = evecs_g[..., -1]  # (h, w, c), unit norm
-
-    # phase-reference to coil 0 (map magnitudes/targets are invariant)
-    phase = jnp.exp(-1j * jnp.angle(maps[..., :1]))
-    maps = maps * phase
-    maps = maps * (top_val[..., None] >= crop)
-    return jnp.moveaxis(maps, -1, 0).astype(jnp.complex64), top_val.astype(jnp.float32)
+            block = pr[:, ys, xs, :, yd, xd]  # (c, ny, nx, c, ny, nx)
+            # paired (diagonal) offsets: sum over δ with δ+Δ fixed per slice
+            q[:, :, dy + k - 1, dx + k - 1] = np.einsum("cyxdyx->cd", block)
+    return q
 
 
 def espirit_maps(
-    kspace: jnp.ndarray,
+    kspace: np.ndarray,
     calib_size: int = 24,
     kernel_size: int = 6,
     thresh: float = 0.001,
@@ -142,7 +92,7 @@ def espirit_maps(
     """Estimate sensitivity maps from (time-averaged) multi-coil k-space.
 
     Args:
-        kspace: ``(c, h, w)`` complex64, centered (DC at ``(h//2, w//2)``).
+        kspace: ``(c, h, w)`` complex, centered (DC at ``(h//2, w//2)``).
         calib_size: side of the square central calibration region (BART
             ``-r``; the reference uses 200 = full grid for targets, 15 for
             CineNet per-sample maps).
@@ -152,12 +102,39 @@ def espirit_maps(
         ``(c, h, w)`` complex64 maps (unit-norm per pixel inside the crop
         mask, zero outside); optionally also the ``(h, w)`` top eigenvalue.
     """
-    kspace = jnp.asarray(kspace, dtype=jnp.complex64)
+    kspace = np.asarray(kspace, np.complex64)
     if kspace.ndim != 3:
         raise ValueError(f"expected (c, h, w) k-space, got {kspace.shape}")
-    maps, ev = _espirit_impl(
-        kspace, int(calib_size), int(kernel_size), float(thresh), float(crop)
-    )
+    c, h, w = kspace.shape
+    k = int(kernel_size)
+
+    calib = _extract_calib(kspace, int(calib_size)).astype(np.complex128)
+    gram = calibration_matrix_gram(calib, k)
+
+    evals, evecs = np.linalg.eigh(gram)  # ascending; evals = σ²
+    weights = (evals > (thresh ** 2) * evals[-1]).astype(gram.dtype)
+    p = (evecs * weights[None, :]) @ evecs.conj().T  # signal-subspace projector
+
+    q = _autocorrelation(p, c, k)  # (c, c, 2k-1, 2k-1)
+
+    # G_cc'(x) = (1/k²) Σ_Δ Q(Δ) e^{2πiΔ·x/N}: place Q at frequencies Δ mod N
+    grid = np.zeros((c, c, h, w), dtype=np.complex128)
+    dy = np.arange(-k + 1, k) % h
+    dx = np.arange(-k + 1, k) % w
+    grid[:, :, dy[:, None], dx[None, :]] = q
+    g = np.fft.ifft2(grid, axes=(-2, -1)) * (h * w) / (k * k)
+    g = np.fft.fftshift(g, axes=(-2, -1))  # align with centered-image order
+    g = np.moveaxis(g, (0, 1), (2, 3))  # (h, w, c, c)
+    g = 0.5 * (g + np.conj(np.swapaxes(g, -1, -2)))
+
+    evals_g, evecs_g = np.linalg.eigh(g)  # (h, w, c) asc / (h, w, c, c)
+    top_val = evals_g[..., -1].real
+    maps = evecs_g[..., -1]  # (h, w, c), unit norm
+
+    phase = np.exp(-1j * np.angle(maps[..., :1]))
+    maps = maps * phase
+    maps = maps * (top_val[..., None] >= crop)
+    maps = np.moveaxis(maps, -1, 0).astype(np.complex64)
     if return_eigenvalues:
-        return maps, ev
+        return maps, top_val.astype(np.float32)
     return maps

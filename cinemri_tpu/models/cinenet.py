@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from cinemri_tpu.models.denoisers.unet import Unet
 from cinemri_tpu.models.varnet import LAMBDA_INIT, lambda_init
+from cinemri_tpu.ops.cplx import Complex, cmean, from_channels, to_channels
 from cinemri_tpu.ops.fft import fft1c, ifft1c
 from cinemri_tpu.physics.cg import conj_grad
 from cinemri_tpu.physics.operators import normal_plus_lambda, sens_reduce
@@ -34,13 +35,8 @@ from cinemri_tpu.physics.operators import normal_plus_lambda, sens_reduce
 __all__ = ["CineNet", "CineNetCascade"]
 
 
-def _to_real_ch(x: jnp.ndarray) -> jnp.ndarray:
-    """complex (..., h, w) -> (..., h, w, 2) [re, im] channels."""
-    return jnp.stack([x.real, x.imag], axis=-1)
-
-
-def _to_complex(x: jnp.ndarray) -> jnp.ndarray:
-    return (x[..., 0] + 1j * x[..., 1]).astype(jnp.complex64)
+_to_real_ch = to_channels
+_to_complex = from_channels
 
 
 class CineNetCascade(nn.Module):
@@ -60,7 +56,7 @@ class CineNetCascade(nn.Module):
         """cinenet.py:176-220 — same rotation as VarNet but the plane nets
         see raw [re, im] channels instead of a normalized wrapper."""
         b, t, h, w = x.shape
-        mean = jnp.mean(x, axis=1, keepdims=True)
+        mean = cmean(x, axis=1, keepdims=True)
         x = x - mean
         if self.dynamic_type == "XF":
             x = fft1c(x, axis=1)
@@ -143,4 +139,4 @@ class CineNet(nn.Module):
             name="cascades",
         )(image_ref, lam, image_ref, mask, sens_maps)
 
-        return jnp.abs(image_pred[:, :, 0])
+        return image_pred[:, :, 0].abs()

@@ -20,6 +20,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from cinemri_tpu.models.denoisers.unet import Unet
+from cinemri_tpu.ops.cplx import Complex, from_channels, to_channels
 from cinemri_tpu.ops.pad import pad_to_multiple, unpad
 
 __all__ = ["NormUnet", "NormUnet3D"]
@@ -42,7 +43,7 @@ def _norm_groups(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
 
 
 class NormUnet(nn.Module):
-    """Reference NormUnet (norm_unet.py:12-114) on (n, h, w) complex."""
+    """Reference NormUnet (norm_unet.py:12-114) on Complex (n, h, w)."""
 
     chans: int
     num_pools: int
@@ -51,9 +52,9 @@ class NormUnet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        if not jnp.iscomplexobj(x) or x.ndim != 3:
-            raise ValueError(f"expected complex (n, h, w), got {x.shape} {x.dtype}")
-        r = jnp.stack([x.real, x.imag], axis=-1)  # (n, h, w, 2)
+        if not isinstance(x, Complex) or x.ndim != 3:
+            raise ValueError(f"expected Complex (n, h, w), got {x}")
+        r = to_channels(x)  # (n, h, w, 2)
         r, mean, std = _norm_groups(r)
         r, spec = pad_to_multiple(r, 16, axes=(1, 2))
         r = Unet(
@@ -67,11 +68,11 @@ class NormUnet(nn.Module):
         )(r)
         r = unpad(r, spec, axes=(1, 2))
         r = r * std + mean
-        return (r[..., 0] + 1j * r[..., 1]).astype(x.dtype)
+        return from_channels(r)
 
 
 class NormUnet3D(nn.Module):
-    """Reference NormUnet3D (norm_unet.py:117-219) on (n, t, h, w) complex."""
+    """Reference NormUnet3D (norm_unet.py:117-219) on Complex (n, t, h, w)."""
 
     chans: int
     num_pools: int
@@ -80,9 +81,9 @@ class NormUnet3D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        if not jnp.iscomplexobj(x) or x.ndim != 4:
-            raise ValueError(f"expected complex (n, t, h, w), got {x.shape} {x.dtype}")
-        r = jnp.stack([x.real, x.imag], axis=-1)  # (n, t, h, w, 2)
+        if not isinstance(x, Complex) or x.ndim != 4:
+            raise ValueError(f"expected Complex (n, t, h, w), got {x}")
+        r = to_channels(x)  # (n, t, h, w, 2)
         r, mean, std = _norm_groups(r)
         r, spec = pad_to_multiple(r, 16, axes=(1, 2, 3))
         r = Unet(
@@ -96,4 +97,4 @@ class NormUnet3D(nn.Module):
         )(r)
         r = unpad(r, spec, axes=(1, 2, 3))
         r = r * std + mean
-        return (r[..., 0] + 1j * r[..., 1]).astype(x.dtype)
+        return from_channels(r)

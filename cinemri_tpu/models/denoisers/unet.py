@@ -32,6 +32,23 @@ def _instance_norm(x: jnp.ndarray) -> jnp.ndarray:
     )(x)
 
 
+def _avg_pool_2x(x: jnp.ndarray, dims: int) -> jnp.ndarray:
+    """avg_pool(kernel=2, stride=2) as crop + reshape + mean.
+
+    Bit-identical to a stride-2 window mean with torch's floor semantics on
+    odd dims, but built from reshapes and a reduction — ``reduce_window``
+    (what ``nn.avg_pool`` lowers to) is unsupported on some TPU backends,
+    and XLA fuses this form at least as well.
+    """
+    if dims == 2:
+        b, h, w, c = x.shape
+        x = x[:, : h // 2 * 2, : w // 2 * 2]
+        return x.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+    b, t, h, w, c = x.shape
+    x = x[:, : t // 2 * 2, : h // 2 * 2, : w // 2 * 2]
+    return x.reshape(b, t // 2, 2, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4, 6))
+
+
 class ConvBlock(nn.Module):
     """Two (conv3 -> InstanceNorm -> LeakyReLU(0.2) -> dropout) stages
     (reference unet.py:128-182)."""
@@ -89,18 +106,16 @@ class Unet(nn.Module):
             raise ValueError(
                 f"Unet(dims={self.dims}) expects rank {self.dims + 2}, got {x.shape}"
             )
-        window = (2,) * self.dims
-
         stack = []
         ch = self.chans
         out = ConvBlock(ch, self.drop_prob, self.dims, self.deterministic)(x)
         stack.append(out)
-        out = nn.avg_pool(out, window, strides=window)
+        out = _avg_pool_2x(out, self.dims)
         for _ in range(self.num_pool_layers - 1):
             ch *= 2
             out = ConvBlock(ch, self.drop_prob, self.dims, self.deterministic)(out)
             stack.append(out)
-            out = nn.avg_pool(out, window, strides=window)
+            out = _avg_pool_2x(out, self.dims)
 
         out = ConvBlock(ch * 2, self.drop_prob, self.dims, self.deterministic)(out)
 

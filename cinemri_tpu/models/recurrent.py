@@ -33,6 +33,7 @@ from cinemri_tpu.models.denoisers.crnn import BCRNN
 from cinemri_tpu.models.denoisers.kspace_cnn import KSpaceCNN
 from cinemri_tpu.models.varnet import SensitivityModel, lambda_init
 from cinemri_tpu.models.xpdnet import XPDNetSensitivityModel, _merge_ri, _split_ri
+from cinemri_tpu.ops.cplx import Complex, concat as cconcat, crepeat, from_channels, to_channels
 from cinemri_tpu.physics.cg import conj_grad
 from cinemri_tpu.physics.operators import (
     apply_mask,
@@ -91,15 +92,14 @@ def _zero_hiddens(t: int, b: int, h: int, w: int, chans: int):
     )
 
 
-def _image_to_tb(x: jnp.ndarray) -> jnp.ndarray:
-    """(b, t, h, w) complex -> (t, b, h, w, 2) real channels."""
-    x = x.transpose(1, 0, 2, 3)
-    return jnp.stack([x.real, x.imag], axis=-1)
+def _image_to_tb(x) -> jnp.ndarray:
+    """(b, t, h, w) Complex -> (t, b, h, w, 2) real channels."""
+    return to_channels(x.transpose(1, 0, 2, 3))
 
 
-def _tb_to_image(r: jnp.ndarray) -> jnp.ndarray:
-    """(t, b, h, w, 2) -> (b, t, h, w) complex."""
-    return (r[..., 0] + 1j * r[..., 1]).transpose(1, 0, 2, 3).astype(jnp.complex64)
+def _tb_to_image(r: jnp.ndarray):
+    """(t, b, h, w, 2) -> (b, t, h, w) Complex."""
+    return from_channels(r).transpose(1, 0, 2, 3)
 
 
 class _VarNetRNNStep(nn.Module):
@@ -151,7 +151,7 @@ class VarNetRNN(nn.Module):
         (x, _), _ = scan(chans=self.chans, name="iterations")(
             (x, hiddens), ref_kspace, mask, sens_maps
         )
-        return jnp.abs(x)
+        return x.abs()
 
 
 class _CineNetRNNStep(nn.Module):
@@ -204,7 +204,7 @@ class CineNetRNN(nn.Module):
         (x, _), _ = scan(chans=self.chans, cg_iters=self.cg_iters, name="iterations")(
             (x, hiddens), x_ref, mask, sens_maps
         )
-        return jnp.abs(x)
+        return x.abs()
 
 
 def _xpdnet_rnn_body(carry, ref_kspace, mask, sens_maps, trunk, kspace_net, n_primal):
@@ -219,7 +219,7 @@ def _xpdnet_rnn_body(carry, ref_kspace, mask, sens_maps, trunk, kspace_net, n_pr
     head = image_buffer[..., 0][:, :, None]
     fwd = apply_mask(sens_expand(head, sens_maps), mask)
     if kspace_net is not None:
-        cat = jnp.concatenate(
+        cat = cconcat(
             [kspace_buffer, fwd[..., None], ref_kspace[..., None]], axis=-1
         )
         kspace_buffer = _merge_ri(kspace_net(_split_ri(cat)))
@@ -228,7 +228,7 @@ def _xpdnet_rnn_body(carry, ref_kspace, mask, sens_maps, trunk, kspace_net, n_pr
 
     # image buffer update
     bwd = sens_reduce(apply_mask(kspace_buffer[..., 0], mask), sens_maps)[:, :, 0]
-    buf = jnp.concatenate([image_buffer, bwd[..., None]], axis=-1)
+    buf = cconcat([image_buffer, bwd[..., None]], axis=-1)
 
     # CRNN correction over the buffer channels; residual adds the first
     # n_primal buffer channels back (recurrent_xpdnet.py:220-225)
@@ -286,8 +286,8 @@ class XPDNetRNN(nn.Module):
         )(ref_kspace, mask)
         image = sens_reduce(apply_mask(ref_kspace, mask), sens_maps)[:, :, 0]
         k_buf_size = 1 if self.primal_only else self.n_dual
-        image_buffer = jnp.repeat(image[..., None], self.n_primal, axis=-1)
-        kspace_buffer = jnp.repeat(ref_kspace[..., None], k_buf_size, axis=-1)
+        image_buffer = crepeat(image[..., None], self.n_primal, axis=-1)
+        kspace_buffer = crepeat(ref_kspace[..., None], k_buf_size, axis=-1)
 
         b, t, h, w = image.shape
         hiddens = _zero_hiddens(t, b, h, w, self.chans)
@@ -320,4 +320,4 @@ class XPDNetRNN(nn.Module):
                     carry, ref_kspace, mask, sens_maps, trunk, knet, self.n_primal
                 )
 
-        return jnp.abs(carry[0][..., 0])
+        return carry[0][..., 0].abs()

@@ -13,8 +13,9 @@ per-cascade λ is a single ``(num_cascades,)`` parameter scanned as loop
 input. ``remat=True`` rematerializes each cascade in the backward pass,
 bounding training memory at one cascade's activations.
 
-I/O: ``masked_kspace (b, t, c, h, w) complex64``, ``mask (b, t|1, 1, h, 1)``
--> magnitude image ``(b, t, h, w) float32``.
+I/O: ``masked_kspace (b, t, c, h, w)`` as a :class:`~cinemri_tpu.ops.cplx.Complex`
+pair, ``mask (b, t|1, 1, h, 1)`` float32 -> magnitude image ``(b, t, h, w)``
+float32.
 """
 
 from __future__ import annotations
@@ -26,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from cinemri_tpu.models.denoisers.norm_unet import NormUnet, NormUnet3D
+from cinemri_tpu.ops.cplx import Complex, cmean
 from cinemri_tpu.ops.coil import rss_complex
 from cinemri_tpu.ops.fft import fft1c, ifft1c, ifft2c
 from cinemri_tpu.physics.lowfreq import center_band, mask_center_band
@@ -57,7 +59,7 @@ class SensitivityModel(nn.Module):
     def __call__(self, masked_kspace: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         def lowfreq(k, m):  # per-sample: (t, c, h, w), (t|1, 1, h, 1)
             pad, num_low = center_band(m[None])
-            return mask_center_band(jnp.mean(k, axis=0), pad, num_low, axis=-2)
+            return mask_center_band(cmean(k, axis=0), pad, num_low, axis=-2)
 
         x = jax.vmap(lowfreq)(masked_kspace, mask)  # (b, c, h, w)
         x = ifft2c(x)
@@ -69,25 +71,41 @@ class SensitivityModel(nn.Module):
 
 
 class VarNetCascade(nn.Module):
-    """One unrolled block (varnet.py:154-282), scanned over cascades."""
+    """One unrolled block (varnet.py:154-282), scanned over cascades.
+
+    ``plane_axis``: optional mesh axis name; when set (inside a
+    ``jax.set_mesh`` scope) the XT/XF rotated-plane batches — b·h and b·w
+    independent (·, t) images — are shard-constrained over that axis. This
+    is the sequence-parallel layout from SURVEY §5: the planes are
+    embarrassingly parallel, so the denoiser convs scale across chips with
+    no halo exchange; only the cheap temporal FFT and reshapes touch the
+    full extent.
+    """
 
     chans: int
     pools: int
     dynamic_type: str = "XF"
     weight_sharing: bool = False
+    plane_axis: str = ""
 
     def _xfyf(self, x: jnp.ndarray) -> jnp.ndarray:
         """Rotated-plane regularization (varnet.py:196-241): temporal-mean
         subtraction, optional temporal FFT (XF), per-plane NormUnets on the
         (w,t)- and (h,t)-plane batches, average, inverse FFT, mean restored."""
         b, t, h, w = x.shape
-        mean = jnp.mean(x, axis=1, keepdims=True)
+        mean = cmean(x, axis=1, keepdims=True)
         x = x - mean
         if self.dynamic_type == "XF":
             x = fft1c(x, axis=1)
 
         xf = x.transpose(0, 2, 3, 1).reshape(b * h, w, t)
         yf = x.transpose(0, 3, 2, 1).reshape(b * w, h, t)
+        if self.plane_axis:
+            from jax.sharding import PartitionSpec
+
+            spec = PartitionSpec(self.plane_axis)
+            xf = jax.lax.with_sharding_constraint(xf, spec)
+            yf = jax.lax.with_sharding_constraint(yf, spec)
         if self.weight_sharing:
             net = NormUnet(self.chans, self.pools, name="plane_net")
             xf, yf = net(xf), net(yf)
@@ -137,6 +155,7 @@ class VarNet(nn.Module):
     dynamic_type: str = "XF"
     weight_sharing: bool = False
     remat: bool = True
+    plane_axis: str = ""  # sequence-parallel mesh axis for XT/XF planes
 
     @nn.compact
     def __call__(self, masked_kspace: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -163,8 +182,9 @@ class VarNet(nn.Module):
             pools=self.pools,
             dynamic_type=self.dynamic_type,
             weight_sharing=self.weight_sharing,
+            plane_axis=self.plane_axis,
             name="cascades",
         )(masked_kspace, lam, masked_kspace, mask, sens_maps)
 
         image = sens_reduce(kspace_pred, sens_maps, keepdims=False)  # (b, t, h, w)
-        return jnp.abs(image)
+        return image.abs()

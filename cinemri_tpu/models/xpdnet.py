@@ -35,28 +35,33 @@ from typing import Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+import jax
+
 from cinemri_tpu.models.denoisers.kspace_cnn import KSpaceCNN
 from cinemri_tpu.models.denoisers.mwcnn import MWCNN
 from cinemri_tpu.models.denoisers.unet import Unet
+from cinemri_tpu.ops.cplx import (
+    Complex,
+    cmean,
+    concat as cconcat,
+    crepeat,
+    from_channels,
+    from_multi_channels,
+    to_channels,
+    to_multi_channels,
+)
 from cinemri_tpu.ops.coil import rss_complex
 from cinemri_tpu.ops.fft import fft1c_alt, ifft1c, ifft2c
 from cinemri_tpu.ops.pad import pad_for_mwcnn, unpad_from_mwcnn
 from cinemri_tpu.physics.lowfreq import center_band, mask_center_band
 from cinemri_tpu.physics.operators import apply_mask, sens_expand, sens_reduce
 
-import jax
-
 __all__ = ["XPDNet", "XPDNetBlock", "XPDNetSensitivityModel"]
 
 
-def _split_ri(x: jnp.ndarray) -> jnp.ndarray:
-    """(..., n) complex -> (..., 2n) real, [re_0..re_n, im_0..im_n]."""
-    return jnp.concatenate([x.real, x.imag], axis=-1)
-
-
-def _merge_ri(x: jnp.ndarray) -> jnp.ndarray:
-    re, im = jnp.split(x, 2, axis=-1)
-    return (re + 1j * im).astype(jnp.complex64)
+# (..., n) Complex <-> (..., 2n) real, [re_0..re_n, im_0..im_n]
+_split_ri = to_multi_channels
+_merge_ri = from_multi_channels
 
 
 class XPDNetSensitivityModel(nn.Module):
@@ -71,16 +76,16 @@ class XPDNetSensitivityModel(nn.Module):
     def __call__(self, masked_kspace: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         def lowfreq(k, m):
             pad, num_low = center_band(m[None])
-            return mask_center_band(jnp.mean(k, axis=0), pad, num_low, axis=-2)
+            return mask_center_band(cmean(k, axis=0), pad, num_low, axis=-2)
 
         x = jax.vmap(lowfreq)(masked_kspace, mask)  # (b, c, h, w)
         x = ifft2c(x)
         b, c, h, w = x.shape
-        r = jnp.stack([x.real, x.imag], axis=-1).reshape(b * c, h, w, 2)
+        r = to_channels(x).reshape(b * c, h, w, 2)
         out = Unet(chans=self.chans, num_pool_layers=self.num_pools)(r)
         if self.res_connection:
             out = out + r
-        x = (out[..., 0] + 1j * out[..., 1]).reshape(b, c, h, w).astype(jnp.complex64)
+        x = from_channels(out.reshape(b, c, h, w, 2))
         x = x / rss_complex(x, axis=1)[:, None]
         return x[:, None]  # (b, 1, c, h, w)
 
@@ -124,7 +129,7 @@ class XPDNetBlock(nn.Module):
         head = image_buffer[..., 0][:, :, None]  # (b, t, 1, h, w)
         fwd = apply_mask(sens_expand(head, sens_maps), mask)  # (b, t, c, h, w)
         if not self.primal_only:
-            cat = jnp.concatenate(
+            cat = cconcat(
                 [kspace_buffer, fwd[..., None], ref_kspace[..., None]], axis=-1
             )
             out = KSpaceCNN(out_chans=2 * self.n_dual, name="kspace_net")(
@@ -137,7 +142,7 @@ class XPDNetBlock(nn.Module):
     def _xfyf(self, buf: jnp.ndarray) -> jnp.ndarray:
         """(b, t, h, w, n_primal+1) complex -> (b, t, h, w, n_primal)."""
         b, t, h, w, ch = buf.shape
-        mean = jnp.mean(buf, axis=1, keepdims=True)
+        mean = cmean(buf, axis=1, keepdims=True)
         x = buf - mean
         if self.dynamic_type == "XF":
             x = fft1c_alt(x, axis=1)  # alt shift order (xpdnet.py:467)
@@ -166,7 +171,7 @@ class XPDNetBlock(nn.Module):
         """image-domain correction (xpdnet.py:406-446)."""
         head = kspace_buffer[..., 0]
         bwd = sens_reduce(apply_mask(head, mask), sens_maps)[:, :, 0]  # (b, t, h, w)
-        buf = jnp.concatenate([image_buffer, bwd[..., None]], axis=-1)
+        buf = cconcat([image_buffer, bwd[..., None]], axis=-1)
 
         if self.dynamic_type in ("XF", "XT"):
             return self._xfyf(buf)
@@ -222,8 +227,8 @@ class XPDNet(nn.Module):
 
         image = sens_reduce(masked_kspace, sens_maps)[:, :, 0]  # (b, t, h, w)
         k_buf_size = 1 if self.primal_only else self.n_dual
-        image_buffer = jnp.repeat(image[..., None], self.n_primal, axis=-1)
-        kspace_buffer = jnp.repeat(masked_kspace[..., None], k_buf_size, axis=-1)
+        image_buffer = crepeat(image[..., None], self.n_primal, axis=-1)
+        kspace_buffer = crepeat(masked_kspace[..., None], k_buf_size, axis=-1)
 
         block = nn.remat(XPDNetBlock) if self.remat else XPDNetBlock
         scan = nn.scan(
@@ -248,4 +253,4 @@ class XPDNet(nn.Module):
             name="cascades",
         )((image_buffer, kspace_buffer), masked_kspace, mask, sens_maps)
 
-        return jnp.abs(image_buffer[..., 0])
+        return image_buffer[..., 0].abs()

@@ -28,6 +28,8 @@ from cinemri_tpu.ops.pad import (
 )
 from cinemri_tpu.ops.wavelet import dwt2, iwt2
 from cinemri_tpu.ops import metrics
+from cinemri_tpu.ops import cplx
+from cinemri_tpu.ops.cplx import Complex
 
 __all__ = [
     "fft1c",
@@ -55,4 +57,6 @@ __all__ = [
     "dwt2",
     "iwt2",
     "metrics",
+    "cplx",
+    "Complex",
 ]

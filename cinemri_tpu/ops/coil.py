@@ -14,6 +14,10 @@ def rss(x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
     return jnp.sqrt(jnp.sum(x * x, axis=axis))
 
 
-def rss_complex(x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
-    """Root-sum-of-squares over the coil axis for complex input."""
+def rss_complex(x, axis: int = 0) -> jnp.ndarray:
+    """Root-sum-of-squares over the coil axis (Complex pair or complex array)."""
+    from cinemri_tpu.ops.cplx import Complex
+
+    if isinstance(x, Complex):
+        return jnp.sqrt(jnp.sum(x.abs_sq(), axis=axis))
     return jnp.sqrt(jnp.sum(complex_abs_sq(x), axis=axis))

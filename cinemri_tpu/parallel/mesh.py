@@ -56,15 +56,38 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(batch: Dict, mesh: Optional[Mesh], axis: str = "data") -> Dict:
     """Device-put array fields, sharding the leading (batch) axis when it
-    divides the mesh axis size; everything else is replicated."""
-    if mesh is None:
-        return {k: batch[k] for k in ARRAY_KEYS if k in batch}
-    n = mesh.shape[axis]
+    divides the mesh axis size; everything else is replicated.
+
+    Host-side complex arrays become :class:`~cinemri_tpu.ops.cplx.Complex`
+    (re, im) pairs here — complex dtypes never reach the device.
+    """
+    from cinemri_tpu.ops.cplx import Complex
+
+    import jax.numpy as jnp
+
+    def to_device(v, sh):
+        if np.iscomplexobj(v):
+            v = Complex(
+                np.ascontiguousarray(np.asarray(v).real, dtype=np.float32),
+                np.ascontiguousarray(np.asarray(v).imag, dtype=np.float32),
+            )
+        if sh is None:
+            return jax.tree.map(jnp.asarray, v) if isinstance(v, Complex) else jnp.asarray(v)
+        return jax.device_put(v, sh)
+
     out = {}
     for k in ARRAY_KEYS:
         if k not in batch:
             continue
         v = batch[k]
-        sh = batch_sharding(mesh, axis) if v.shape[0] % n == 0 else replicated_sharding(mesh)
-        out[k] = jax.device_put(v, sh)
+        if mesh is None:
+            out[k] = to_device(v, None)
+        else:
+            n = mesh.shape[axis]
+            sh = (
+                batch_sharding(mesh, axis)
+                if v.shape[0] % n == 0
+                else replicated_sharding(mesh)
+            )
+            out[k] = to_device(v, sh)
     return out

@@ -22,8 +22,12 @@ from jax import lax
 __all__ = ["conj_grad"]
 
 
-def _real_dot(u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+def _real_dot(u, v) -> jnp.ndarray:
     """Re⟨u, v⟩ — matches the reference's real-flattened torch.dot."""
+    from cinemri_tpu.ops.cplx import Complex, real_dot
+
+    if isinstance(u, Complex):
+        return real_dot(u, v)
     if jnp.iscomplexobj(u):
         return jnp.sum(u.real * v.real + u.imag * v.imag)
     return jnp.sum(u * v)

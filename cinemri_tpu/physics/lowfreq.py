@@ -60,12 +60,14 @@ def mask_center_band(
     return x * band.reshape(shape).astype(x.dtype)
 
 
-def low_frequency_kspace(kspace: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+def low_frequency_kspace(kspace, mask: jnp.ndarray):
     """Time-averaged k-space restricted to the fully-sampled central band.
 
-    Input ``(b, t, c, h, w)`` -> output ``(b, c, h, w)`` (time collapsed),
-    matching varnet.py:70-71.
+    Input ``(b, t, c, h, w)`` (Complex or complex array) -> ``(b, c, h, w)``
+    (time collapsed), matching varnet.py:70-71.
     """
+    from cinemri_tpu.ops.cplx import Complex, cmean
+
     pad, num_low = center_band(mask)
-    x = jnp.mean(kspace, axis=1)  # (b, c, h, w)
+    x = cmean(kspace, axis=1) if isinstance(kspace, Complex) else jnp.mean(kspace, axis=1)
     return mask_center_band(x, pad, num_low, axis=-2)

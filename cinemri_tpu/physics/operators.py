@@ -1,4 +1,4 @@
-"""MRI encoding-operator algebra on native complex arrays.
+"""MRI encoding-operator algebra on Complex (re, im) pairs.
 
 Parity targets (reference file:line):
   * ``sens_expand`` / ``sens_reduce`` — reconstruction/models/varnet.py:181-194
@@ -9,16 +9,17 @@ Parity targets (reference file:line):
   * ``normal_plus_lambda`` — the CG system operator
     ``H = AᴴA + λ·Id`` (cinenet.py:121-133).
 
-Shapes: k-space ``(b, t, c, h, w)`` complex64; sensitivity maps
-``(b, 1, c, h, w)``; coil-combined images ``(b, t, 1, h, w)`` (the singleton
-axis keeps image/k-space ranks aligned so the same mask broadcast works in
-both domains); masks broadcastable to k-space, canonically ``(b, t, 1, h, 1)``.
+Shapes: k-space ``(b, t, c, h, w)`` Complex; sensitivity maps
+``(b, 1, c, h, w)`` Complex; coil-combined images ``(b, t, 1, h, w)``
+Complex; masks broadcastable real float arrays, canonically
+``(b, t, 1, h, 1)``.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 
+from cinemri_tpu.ops.cplx import Complex, csum, from_complex
 from cinemri_tpu.ops.fft import fft2c, ifft2c
 
 __all__ = [
@@ -32,45 +33,41 @@ __all__ = [
 COIL_AXIS = 2
 
 
-def sens_expand(image: jnp.ndarray, sens_maps: jnp.ndarray) -> jnp.ndarray:
+def _c(x) -> Complex:
+    return x if isinstance(x, Complex) else from_complex(x)
+
+
+def sens_expand(image, sens_maps) -> Complex:
     """Coil-combined image -> multi-coil k-space: ``F (S ⊙ x)``."""
-    return fft2c(image * sens_maps)
+    return fft2c(_c(image) * _c(sens_maps))
 
 
-def sens_reduce(
-    kspace: jnp.ndarray, sens_maps: jnp.ndarray, keepdims: bool = True
-) -> jnp.ndarray:
+def sens_reduce(kspace, sens_maps, keepdims: bool = True) -> Complex:
     """Multi-coil k-space -> coil-combined image: ``Σ_c conj(S) ⊙ F⁻¹ k``."""
-    image = ifft2c(kspace)
-    return jnp.sum(image * jnp.conj(sens_maps), axis=COIL_AXIS, keepdims=keepdims)
+    image = ifft2c(_c(kspace))
+    return csum(image * _c(sens_maps).conj(), axis=COIL_AXIS, keepdims=keepdims)
 
 
-def apply_mask(kspace: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+def apply_mask(kspace, mask: jnp.ndarray) -> Complex:
     """Subsample k-space by elementwise mask multiplication."""
-    return kspace * mask
+    return _c(kspace) * mask
 
 
-def soft_dc(
-    model_term: jnp.ndarray,
-    ref_kspace: jnp.ndarray,
-    mask: jnp.ndarray,
-    v: jnp.ndarray,
-) -> jnp.ndarray:
+def soft_dc(model_term, ref_kspace, mask: jnp.ndarray, v) -> Complex:
     """Soft data consistency with learned regularization weight ``v``.
 
     ``v = softplus(λ)`` with λ initialized to log(e−1) so v starts at 1
     (varnet.py:176-179).
     """
-    return (1 - mask) * model_term + mask * (model_term + v * ref_kspace) / (1 + v)
+    model_term = _c(model_term)
+    return (1 - mask) * model_term + mask * (
+        (model_term + v * _c(ref_kspace)) / (1 + v)
+    )
 
 
-def normal_plus_lambda(
-    x: jnp.ndarray,
-    mask: jnp.ndarray,
-    sens_maps: jnp.ndarray,
-    lam: jnp.ndarray,
-) -> jnp.ndarray:
+def normal_plus_lambda(x, mask: jnp.ndarray, sens_maps, lam) -> Complex:
     """``H(x) = Aᴴ M A x + λ x`` — the CG system operator (cinenet.py:121-133)."""
+    x = _c(x)
     k = sens_expand(x, sens_maps)
     k = apply_mask(k, mask)
     return sens_reduce(k, sens_maps, keepdims=True) + lam * x

@@ -7,6 +7,7 @@ import pytest
 
 from cinemri_tpu.models import build_model
 from cinemri_tpu.models.denoisers import MWCNN, NormUnet, NormUnet3D, Unet
+from cinemri_tpu.ops.cplx import from_complex
 from cinemri_tpu.ops.ssim import ssim_loss
 
 B, T, C, H, W = 1, 4, 3, 24, 16
@@ -45,7 +46,7 @@ def batch():
     m[:, :, :, H - 3] = 1
     sens = (rng.standard_normal((B, 1, C, H, W)) + 1j * rng.standard_normal((B, 1, C, H, W))).astype(np.complex64)
     sens /= np.sqrt((np.abs(sens) ** 2).sum(2, keepdims=True))
-    return jnp.asarray(k * m), jnp.asarray(m), jnp.asarray(sens)
+    return from_complex(k * m), jnp.asarray(m), from_complex(sens)
 
 
 def _make(family, dyn):
@@ -84,7 +85,7 @@ class TestAllVariants:
         k, m, sens = batch
         args = (k, m, sens) if family == "cinenet" else (k, m)
         params = model.init(jax.random.PRNGKey(0), *args)
-        target = jnp.abs(k).mean(axis=2)  # (B, T, H, W) dummy target
+        target = k.abs().mean(axis=2)  # (B, T, H, W) dummy target
 
         def loss_fn(p):
             return ssim_loss(model.apply(p, *args), target)
@@ -149,27 +150,29 @@ class TestDenoisers:
         assert m.apply(p, x).shape == (1, 5, 12, 10, 2)
 
     def test_norm_unet_complex_roundtrip_shapes(self, rng):
-        x = jnp.asarray(
+        x = from_complex(
             (rng.standard_normal((3, 30, 22)) + 1j * rng.standard_normal((3, 30, 22))).astype(np.complex64)
         )
         m = NormUnet(chans=4, num_pools=2)
         p = m.init(jax.random.PRNGKey(0), x)
         out = m.apply(p, x)
-        assert out.shape == x.shape and out.dtype == jnp.complex64
+        assert out.shape == x.shape and out.dtype == jnp.float32
 
     def test_norm_unet_scale_equivariance(self, rng):
         """Input normalization makes the wrapper ~scale-equivariant."""
-        x = jnp.asarray(
+        from cinemri_tpu.ops.cplx import to_numpy
+
+        x = from_complex(
             (rng.standard_normal((1, 16, 16)) + 1j * rng.standard_normal((1, 16, 16))).astype(np.complex64)
         )
         m = NormUnet(chans=4, num_pools=2)
         p = m.init(jax.random.PRNGKey(0), x)
-        a = np.asarray(m.apply(p, x))
-        b = np.asarray(m.apply(p, x * 1000.0))
+        a = to_numpy(m.apply(p, x))
+        b = to_numpy(m.apply(p, x * 1000.0))
         np.testing.assert_allclose(b, a * 1000.0, rtol=2e-2, atol=2e-2)
 
     def test_norm_unet3d(self, rng):
-        x = jnp.asarray(
+        x = from_complex(
             (rng.standard_normal((1, 5, 18, 18)) + 1j * rng.standard_normal((1, 5, 18, 18))).astype(np.complex64)
         )
         m = NormUnet3D(chans=4, num_pools=2)

@@ -6,6 +6,7 @@ import pytest
 from scipy.ndimage import uniform_filter
 
 from cinemri_tpu import ops
+from cinemri_tpu.ops.cplx import Complex, from_complex, to_numpy
 
 
 def _crandn(rng, *shape):
@@ -53,6 +54,91 @@ class TestFFT:
         np.testing.assert_allclose(
             np.linalg.norm(np.asarray(k)), np.linalg.norm(x), rtol=1e-5
         )
+
+
+class TestMatmulDFT:
+    """The Complex-pair path computes centered transforms as DFT matmuls;
+    it must agree with numpy's FFT to float32 precision."""
+
+    @pytest.mark.parametrize("n", [15, 16, 200])
+    def test_fft1c_complex_pair_matches_numpy(self, rng, n):
+        x = _crandn(rng, 3, n)
+        got = to_numpy(ops.fft1c(from_complex(x), axis=-1))
+        want = np.fft.fftshift(
+            np.fft.fft(np.fft.ifftshift(x, axes=-1), norm="ortho"), axes=-1
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+    def test_fft2c_complex_pair_roundtrip_and_match(self, rng):
+        x = _crandn(rng, 2, 24, 18)
+        c = from_complex(x)
+        k = ops.fft2c(c)
+        want = np.fft.fftshift(
+            np.fft.fft2(np.fft.ifftshift(x, axes=(-2, -1)), norm="ortho"),
+            axes=(-2, -1),
+        )
+        np.testing.assert_allclose(to_numpy(k), want, rtol=1e-3, atol=1e-4)
+        back = to_numpy(ops.ifft2c(k))
+        np.testing.assert_allclose(back, x, rtol=1e-3, atol=1e-4)
+
+    def test_alt_convention_complex_pair(self, rng):
+        x = _crandn(rng, 4, 15)
+        got = to_numpy(ops.fft1c_alt(from_complex(x), axis=-1))
+        want = np.fft.ifftshift(
+            np.fft.fft(np.fft.fftshift(x, axes=-1), norm="ortho"), axes=-1
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+        back = to_numpy(ops.ifft1c_alt(ops.fft1c_alt(from_complex(x), axis=-1), axis=-1))
+        np.testing.assert_allclose(back, x, rtol=1e-3, atol=1e-4)
+
+    def test_backward_norm(self, rng):
+        x = _crandn(rng, 2, 16, 16)
+        got = to_numpy(ops.ifft2c(from_complex(x), norm="backward"))
+        want = np.fft.fftshift(
+            np.fft.ifft2(np.fft.ifftshift(x, axes=(-2, -1))), axes=(-2, -1)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+
+
+class TestComplexPair:
+    def test_arithmetic(self, rng):
+        a = _crandn(rng, 3, 4)
+        b = _crandn(rng, 3, 4)
+        ca, cb = from_complex(a), from_complex(b)
+        np.testing.assert_allclose(to_numpy(ca * cb), a * b, rtol=1e-5)
+        np.testing.assert_allclose(to_numpy(ca + cb), a + b, rtol=1e-5)
+        np.testing.assert_allclose(to_numpy(ca - cb), a - b, rtol=1e-5)
+        np.testing.assert_allclose(to_numpy(ca.conj()), a.conj(), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(ca.abs()), np.abs(a), rtol=1e-5)
+        np.testing.assert_allclose(to_numpy(ca / cb), a / b, rtol=1e-4)
+
+    def test_real_broadcast_and_pytree(self, rng):
+        import jax
+
+        a = _crandn(rng, 2, 3)
+        m = rng.random((2, 3)).astype(np.float32)
+        ca = from_complex(a)
+        np.testing.assert_allclose(to_numpy(jnp.asarray(m) * ca), m * a, rtol=1e-5)
+        np.testing.assert_allclose(to_numpy(ca * 2.0), a * 2.0, rtol=1e-5)
+        leaves = jax.tree.leaves(ca)
+        assert len(leaves) == 2  # registered pytree
+
+    def test_shape_ops(self, rng):
+        a = _crandn(rng, 2, 3, 4)
+        ca = from_complex(a)
+        np.testing.assert_allclose(to_numpy(ca.transpose(2, 0, 1)), a.transpose(2, 0, 1))
+        np.testing.assert_allclose(to_numpy(ca.reshape(6, 4)), a.reshape(6, 4))
+        np.testing.assert_allclose(to_numpy(ca[..., 1]), a[..., 1])
+        np.testing.assert_allclose(to_numpy(ca[:, None]), a[:, None])
+
+    def test_multi_channel_packing(self, rng):
+        from cinemri_tpu.ops.cplx import from_multi_channels, to_multi_channels
+
+        a = _crandn(rng, 2, 5, 3)
+        packed = to_multi_channels(from_complex(a))
+        np.testing.assert_allclose(np.asarray(packed[..., :3]), a.real, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(packed[..., 3:]), a.imag, rtol=1e-6)
+        np.testing.assert_allclose(to_numpy(from_multi_channels(packed)), a, rtol=1e-6)
 
 
 class TestComplexLayout:

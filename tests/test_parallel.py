@@ -13,6 +13,7 @@ import pytest
 from jax.sharding import PartitionSpec as P
 
 from cinemri_tpu.models import build_model
+from cinemri_tpu.ops.cplx import Complex, from_complex
 from cinemri_tpu.parallel import batch_sharding, make_mesh, shard_batch
 from cinemri_tpu.train import create_train_state, make_optimizer, make_train_step
 
@@ -50,8 +51,9 @@ class TestMesh:
         mesh = make_mesh()
         arrays = shard_batch(_batch(rng), mesh)
         k = arrays["masked_kspace"]
-        assert len(k.sharding.device_set) == 8
-        assert k.sharding.spec == P("data")
+        assert isinstance(k, Complex)  # complex never reaches the device
+        assert len(k.re.sharding.device_set) == 8
+        assert k.re.sharding.spec == P("data")
 
 
 class TestDataParallelTraining:
@@ -62,7 +64,7 @@ class TestDataParallelTraining:
         model = build_model("varnet", "XF", **TINY)
         tx = make_optimizer(lr=1e-3, steps_per_epoch=1)
 
-        arrays_single = {k: jnp.asarray(v) for k, v in batch.items()}
+        arrays_single = shard_batch(batch, None)
         state1 = create_train_state(model, arrays_single, tx)
         step = make_train_step(donate=False)
         s1, aux1 = step(state1, arrays_single)
@@ -115,12 +117,16 @@ class TestSequenceParallelPlanes:
         result (SURVEY §5 long-context equivalence)."""
         from cinemri_tpu.models.denoisers import NormUnet
 
-        mesh = make_mesh({"plane": 8})
-        x = (rng.standard_normal((16, 16, 8)) + 1j * rng.standard_normal((16, 16, 8))).astype(np.complex64)
-        net = NormUnet(chans=4, num_pools=2)
-        params = net.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        from cinemri_tpu.ops.cplx import to_numpy
 
-        out_rep = np.asarray(net.apply(params, jnp.asarray(x)))
+        mesh = make_mesh({"plane": 8})
+        x = from_complex(
+            (rng.standard_normal((16, 16, 8)) + 1j * rng.standard_normal((16, 16, 8))).astype(np.complex64)
+        )
+        net = NormUnet(chans=4, num_pools=2)
+        params = net.init(jax.random.PRNGKey(0), x)
+
+        out_rep = to_numpy(net.apply(params, x))
         xs = jax.device_put(x, batch_sharding(mesh, "plane"))
-        out_shard = np.asarray(jax.jit(lambda p, v: net.apply(p, v))(params, xs))
+        out_shard = to_numpy(jax.jit(lambda p, v: net.apply(p, v))(params, xs))
         np.testing.assert_allclose(out_shard, out_rep, rtol=2e-4, atol=2e-5)

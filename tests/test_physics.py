@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cinemri_tpu import physics
-from cinemri_tpu.ops import fft2c
+from cinemri_tpu.ops.cplx import Complex, from_complex, to_numpy
 
 
 def _crandn(rng, *shape):
@@ -15,15 +15,15 @@ def _crandn(rng, *shape):
 
 
 def _setup(rng, b=1, t=3, c=4, h=16, w=18):
-    image = jnp.asarray(_crandn(rng, b, t, 1, h, w))
-    kspace = jnp.asarray(_crandn(rng, b, t, c, h, w))
-    sens = jnp.asarray(_crandn(rng, b, 1, c, h, w))
+    image = from_complex(_crandn(rng, b, t, 1, h, w))
+    kspace = from_complex(_crandn(rng, b, t, c, h, w))
+    sens = from_complex(_crandn(rng, b, 1, c, h, w))
     mask = jnp.asarray((rng.random((b, t, 1, h, 1)) > 0.5).astype(np.float32))
     return image, kspace, sens, mask
 
 
 def _inner(u, v):
-    return complex(jnp.sum(u * jnp.conj(v)))
+    return complex(np.sum(to_numpy(u) * np.conj(to_numpy(v))))
 
 
 class TestAdjointness:
@@ -48,11 +48,11 @@ class TestSoftDC:
         model_term = physics.sens_expand(image, sens)
         big = physics.soft_dc(model_term, kspace, mask, jnp.asarray(1e8))
         np.testing.assert_allclose(
-            np.asarray(big * mask), np.asarray(kspace * mask), rtol=1e-3, atol=1e-4
+            to_numpy(big * mask), to_numpy(kspace * mask), rtol=1e-3, atol=1e-4
         )
         small = physics.soft_dc(model_term, kspace, mask, jnp.asarray(0.0))
         np.testing.assert_allclose(
-            np.asarray(small), np.asarray(model_term), rtol=1e-5
+            to_numpy(small), to_numpy(model_term), rtol=1e-5, atol=1e-6
         )
 
     def test_unsampled_lines_keep_model_term(self, rng):
@@ -61,7 +61,7 @@ class TestSoftDC:
         out = physics.soft_dc(model_term, kspace, mask, jnp.asarray(1.0))
         inv = 1 - np.asarray(mask)
         np.testing.assert_allclose(
-            np.asarray(out) * inv, np.asarray(model_term) * inv, rtol=1e-5
+            to_numpy(out) * inv, to_numpy(model_term) * inv, rtol=1e-5, atol=1e-6
         )
 
 
@@ -73,9 +73,11 @@ class TestCG:
         op = lambda x: physics.normal_plus_lambda(x, mask, sens, lam)
         x_true = image
         rhs = op(x_true)
-        x0 = jnp.zeros_like(x_true)
+        x0 = Complex(jnp.zeros_like(x_true.re), jnp.zeros_like(x_true.im))
         x = physics.conj_grad(op, rhs, x0, iters=120)
-        rel = float(jnp.linalg.norm(x - x_true) / jnp.linalg.norm(x_true))
+        rel = float(
+            np.linalg.norm(to_numpy(x) - to_numpy(x_true)) / np.linalg.norm(to_numpy(x_true))
+        )
         assert rel < 1e-3
 
     def test_residual_decreases_monotonically_early(self, rng):
@@ -83,11 +85,11 @@ class TestCG:
         lam = jnp.asarray(1.0)
         op = lambda x: physics.normal_plus_lambda(x, mask, sens, lam)
         rhs = op(image)
-        x0 = jnp.zeros_like(image)
+        x0 = Complex(jnp.zeros_like(image.re), jnp.zeros_like(image.im))
         res = []
         for iters in (1, 3, 6, 12):
             x = physics.conj_grad(op, rhs, x0, iters=iters)
-            res.append(float(jnp.linalg.norm(op(x) - rhs)))
+            res.append(float(np.linalg.norm(to_numpy(op(x)) - to_numpy(rhs))))
         assert res[0] > res[1] > res[2] > res[3]
 
     def test_jittable_and_differentiable(self, rng):
@@ -95,8 +97,9 @@ class TestCG:
 
         def solve(lam):
             op = lambda x: physics.normal_plus_lambda(x, mask, sens, lam)
-            x = physics.conj_grad(op, image, jnp.zeros_like(image), iters=6)
-            return jnp.sum(jnp.abs(x) ** 2)
+            x0 = Complex(jnp.zeros_like(image.re), jnp.zeros_like(image.im))
+            x = physics.conj_grad(op, image, x0, iters=6)
+            return jnp.sum(x.abs_sq())
 
         g = jax.grad(solve)(jnp.asarray(0.7))
         assert np.isfinite(float(g))
@@ -125,14 +128,14 @@ class TestLowFreq:
     def test_low_frequency_kspace_keeps_only_band(self, rng):
         h = 32
         mask = self._mask_with_band(h, pad=12, width=8)
-        k = jnp.asarray(_crandn(rng, 1, 3, 2, h, 16))
-        out = np.asarray(physics.low_frequency_kspace(k, mask))
+        k = from_complex(_crandn(rng, 1, 3, 2, h, 16))
+        out = to_numpy(physics.low_frequency_kspace(k, mask))
         assert out.shape == (1, 2, h, 16)
         pad, num_low = physics.center_band(mask)
         p, n = int(pad), int(num_low)
         assert np.abs(out[:, :, :p]).max() == 0
         assert np.abs(out[:, :, p + n :]).max() == 0
-        want = np.asarray(jnp.mean(k, axis=1))[:, :, p : p + n]
+        want = to_numpy(k).mean(axis=1)[:, :, p : p + n]
         np.testing.assert_allclose(out[:, :, p : p + n], want, rtol=1e-5)
 
     def test_center_band_inside_jit(self):

@@ -74,8 +74,10 @@ class TestOptim:
 class TestStepsAndMetrics:
     def test_train_step_decreases_loss(self, data_root, tmp_path):
         loader = _loader(data_root, "train", tmp_path)
+        from cinemri_tpu.parallel import shard_batch
+
         batch = next(iter(loader.epoch(0)))
-        arrays = {k: jnp.asarray(batch[k]) for k in ("masked_kspace", "mask", "target")}
+        arrays = shard_batch(batch, None)
         model = build_model("varnet", "XF", **TINY)
         tx = make_optimizer(lr=3e-3, steps_per_epoch=1)
         state = create_train_state(model, arrays, tx)
