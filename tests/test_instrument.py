@@ -1,0 +1,47 @@
+"""Instrumentation tests: timers, NaN sanitizers, trace capture."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cinemri_tpu.instrument import StepTimer, assert_finite, enable_nan_checks, trace
+
+
+class TestStepTimer:
+    def test_records_and_summarizes(self):
+        t = StepTimer()
+        for _ in range(5):
+            with t.step():
+                jnp.ones((64, 64)).sum().block_until_ready()
+        s = t.summary()
+        assert s["count"] == 5
+        assert 0 < s["p50_s"] <= s["max_s"]
+
+    def test_empty_summary(self):
+        assert StepTimer().summary() == {}
+
+
+class TestSanitizers:
+    def test_assert_finite_passes(self):
+        assert_finite({"a": jnp.ones(3), "b": {"c": jnp.zeros(2)}})
+
+    def test_assert_finite_names_the_leaf(self):
+        with pytest.raises(FloatingPointError, match="params.*w"):
+            assert_finite({"w": jnp.asarray([1.0, np.nan])}, name="params")
+
+    def test_nan_checks_toggle(self):
+        import jax
+
+        enable_nan_checks(True)
+        try:
+            with pytest.raises(FloatingPointError):
+                jax.jit(lambda x: jnp.log(x))(jnp.asarray(-1.0)).block_until_ready()
+        finally:
+            enable_nan_checks(False)
+
+
+class TestTrace:
+    def test_trace_writes_profile(self, tmp_path):
+        with trace(tmp_path / "prof"):
+            jnp.ones((128, 128)).sum().block_until_ready()
+        assert any((tmp_path / "prof").rglob("*"))
