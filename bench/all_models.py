@@ -1,0 +1,86 @@
+"""Benchmark every model family (and optionally every dynamic variant) on
+the available accelerator at the reference's flagship configs.
+
+Prints one JSON line per config: volume latency + frames/sec.
+Usage: python bench/all_models.py [--full]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main(full: bool = False):
+    import jax
+    import jax.numpy as jnp
+
+    from cinemri_tpu.data.masks import RandomMask
+    from cinemri_tpu.models import build_model
+    from cinemri_tpu.ops.cplx import from_complex
+
+    T, C, H, W = 15, 10, 200, 200
+    rng = np.random.default_rng(0)
+    k = (rng.standard_normal((1, T, C, H, W)) + 1j * rng.standard_normal((1, T, C, H, W))).astype(np.complex64)
+    mask_np = RandomMask([10], [4])(T, H, seed=0)[None]
+    km = from_complex(k * mask_np)
+    mask = jnp.asarray(mask_np.astype(np.float32))
+    sens_np = (rng.standard_normal((1, 1, C, H, W)) + 1j * rng.standard_normal((1, 1, C, H, W))).astype(np.complex64)
+    sens_np /= np.sqrt((np.abs(sens_np) ** 2).sum(2, keepdims=True))
+    sens = from_complex(sens_np)
+
+    configs = [
+        ("varnet", "XF", dict(num_cascades=10, sens_chans=8, sens_pools=3, chans=16, pools=3)),
+        ("cinenet", "XF", dict(num_cascades=10, cg_iters=6, chans=16, pools=3)),
+        ("xpdnet", "XF", dict(num_cascades=9, sens_chans=8, sens_pools=3, n_scales=3,
+                              n_filters_per_scale=(16, 32, 64), n_primal=5)),
+        ("varnet", "CRNN", dict(num_cascades=10, sens_chans=8, sens_pools=3, chans=16)),
+    ]
+    if full:
+        configs += [
+            ("varnet", "2D", dict(num_cascades=10, sens_chans=8, sens_pools=3, chans=16, pools=3)),
+            ("varnet", "3D", dict(num_cascades=10, sens_chans=8, sens_pools=3, chans=16, pools=3)),
+            ("varnet", "XT", dict(num_cascades=10, sens_chans=8, sens_pools=3, chans=16, pools=3)),
+            ("cinenet", "CRNN", dict(num_cascades=10, cg_iters=6, chans=16)),
+            ("xpdnet", "CRNN", dict(num_cascades=9, sens_chans=8, sens_pools=3, chans=18, n_primal=5)),
+            ("cinenet", "2D", dict(num_cascades=10, cg_iters=6, chans=16, pools=3)),
+            ("cinenet", "3D", dict(num_cascades=10, cg_iters=6, chans=16, pools=3)),
+            ("xpdnet", "2D", dict(num_cascades=9, sens_chans=8, sens_pools=3, n_scales=3,
+                                  n_filters_per_scale=(16, 32, 64), n_primal=5)),
+        ]
+
+    for family, dyn, kwargs in configs:
+        try:
+            model = build_model(family, dyn, **kwargs)
+            args = (km, mask, sens) if family == "cinenet" else (km, mask)
+            t0 = time.perf_counter()
+            params = model.init(jax.random.PRNGKey(0), *args)
+            fwd = jax.jit(lambda p, *a: model.apply(p, *a))
+            out = np.asarray(fwd(params, *args))
+            compile_s = time.perf_counter() - t0
+            assert np.isfinite(out).all()
+            runs = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                fwd(params, *args).block_until_ready()
+                runs.append(time.perf_counter() - t0)
+            best = min(runs)
+            print(json.dumps({
+                "model": f"{family}-{dyn}",
+                "volume_ms": round(best * 1000, 2),
+                "frames_per_sec": round(T / best, 1),
+                "compile_s": round(compile_s, 1),
+            }), flush=True)
+        except Exception as e:  # keep the sweep going
+            print(json.dumps({"model": f"{family}-{dyn}", "error": str(e)[:200]}), flush=True)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true")
+    main(ap.parse_args().full)

@@ -18,6 +18,7 @@ from typing import Dict
 
 from cinemri_tpu.data import (
     CineNetDataTransform,
+    CombinedSliceDataset,
     SliceDataset,
     VarNetDataTransform,
     XPDNetDataTransform,
@@ -86,8 +87,9 @@ def build_parser(family: str) -> argparse.ArgumentParser:
     p.add_argument("--test_split", default="test", choices=("test", "challenge"))
     p.add_argument("--sample_rate", default=None, type=float)
     p.add_argument("--volume_sample_rate", default=None, type=float)
-    p.add_argument("--use_dataset_cache_file", default=True, type=bool)
-    p.add_argument("--combine_train_val", default=False, type=bool)
+    _bool = lambda v: str(v).lower() in ("1", "true", "yes")
+    p.add_argument("--use_dataset_cache_file", default=True, type=_bool)
+    p.add_argument("--combine_train_val", default=False, type=_bool)
     p.add_argument("--batch_size", default=1, type=int)
     p.add_argument("--maps_cache_dir", default=None, type=Path,
                    help="Cache dir for preprocessed volumes + ESPIRiT maps")
@@ -168,14 +170,35 @@ def train_test_main(family: str, argv=None) -> Dict:
     transform = TRANSFORMS[family](mask_func=mask_func, use_seed=False)
 
     def make_loader(split, shuffle):
-        root = args.test_path if (split == args.test_split and args.test_path) else data_path / split
-        ds = SliceDataset(
-            root,
-            transform=transform,
-            sample_rate=args.sample_rate if split == "train" else None,
-            volume_sample_rate=args.volume_sample_rate if split == "train" else None,
-            maps_cache_dir=args.maps_cache_dir,
-        )
+        is_train = split == "train"
+        if is_train and args.combine_train_val:
+            # merge train+valid for training (data_module.py:156-176)
+            ds = CombinedSliceDataset(
+                roots=[data_path / "train", data_path / "valid"],
+                transforms=[transform, transform],
+                sample_rates=(
+                    [args.sample_rate] * 2 if args.sample_rate is not None else None
+                ),
+                volume_sample_rates=(
+                    [args.volume_sample_rate] * 2
+                    if args.volume_sample_rate is not None
+                    else None
+                ),
+                maps_cache_dir=args.maps_cache_dir,
+            )
+        else:
+            root = (
+                args.test_path
+                if (split == args.test_split and args.test_path)
+                else data_path / split
+            )
+            ds = SliceDataset(
+                root,
+                transform=transform,
+                sample_rate=args.sample_rate if is_train else None,
+                volume_sample_rate=args.volume_sample_rate if is_train else None,
+                maps_cache_dir=args.maps_cache_dir,
+            )
         return Loader(ds, batch_size=args.batch_size, shuffle=shuffle, seed=args.seed)
 
     model = _build_model_from_args(family, args)

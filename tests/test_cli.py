@@ -121,3 +121,17 @@ class TestTrainTestFlow:
             ],
         )
         assert np.isfinite(out["history"][0]["train_loss"])
+
+
+class TestVisualize:
+    def test_visualize_renders_artifact_figures(self, tmp_path, rng):
+        from cinemri_tpu.cli.visualize import main as viz_main
+
+        t, h, w = 4, 24, 24
+        tgt = rng.random((t, h, w)).astype(np.float32)
+        np.save(tmp_path / "target_vol0.h5.npy", tgt)
+        np.save(tmp_path / "output_varnet_vol0.h5.npy", tgt * 0.9)
+        np.save(tmp_path / "zero_filled_vol0.h5.npy", tgt * 0.5)
+        written = viz_main(["--save_path", str(tmp_path)])
+        assert len(written) == 1
+        assert written[0].exists() and written[0].stat().st_size > 0
