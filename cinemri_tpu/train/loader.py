@@ -46,7 +46,13 @@ class Loader:
         volume_aware: bool = False,
         seed: int = 42,
         drop_last: bool = False,
+        bucket_by_shape: bool = True,
     ):
+        """``bucket_by_shape``: reorder each epoch so consecutive batches are
+        homogeneous in (coil count, encoding size). Real cine archives mix
+        coil counts across volumes; XLA compiles one program per shape, so
+        bucketing bounds recompiles at one per distinct shape instead of
+        failing mid-batch (SURVEY §7 hard part #6: bucket-and-pad)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -55,6 +61,7 @@ class Loader:
         self.volume_aware = volume_aware
         self.seed = seed
         self.drop_last = drop_last
+        self.bucket_by_shape = bucket_by_shape
 
     def _indices(self, epoch: int) -> List[int]:
         if self.volume_aware and self.num_replicas > 1:
@@ -90,11 +97,22 @@ class Loader:
             tr.mask_func.rng.seed((self.seed + 1009 * epoch + self.rank) % (2**32 - 1))
 
         idx = self._indices(epoch)
+        if self.bucket_by_shape and len(idx) > 1:
+            examples = getattr(self.dataset, "examples", None)
+            if examples is not None:
+                def shape_key(i):
+                    md = examples[i].metadata if hasattr(examples[i], "metadata") else {}
+                    return (md.get("num_coils", 0), md.get("encoding_size", ()), md.get("num_frames", 0))
+
+                # stable sort: preserves the shuffled order inside each bucket
+                idx = sorted(idx, key=shape_key)
         if self.drop_last:
             idx = idx[: (len(idx) // self.batch_size) * self.batch_size]
         for i in range(0, len(idx), self.batch_size):
-            chunk = idx[i : i + self.batch_size]
+            chunk = list(idx[i : i + self.batch_size])
             if not self.drop_last and len(chunk) < self.batch_size and len(idx) >= self.batch_size:
-                # pad the trailing batch so device sharding stays static
-                chunk = list(chunk) + idx[: self.batch_size - len(chunk)]
+                # pad the trailing batch by repeating its own last sample so
+                # device sharding stays static and the batch stays
+                # shape-homogeneous under bucketing
+                chunk = chunk + [chunk[-1]] * (self.batch_size - len(chunk))
             yield collate([self.dataset[j] for j in chunk])

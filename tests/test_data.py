@@ -212,3 +212,24 @@ class TestSharding:
         assert set(got) == set(range(10))
         lens = {len(data_shard_indices(10, 4, r, shuffle=False)) for r in range(4)}
         assert lens == {3}  # padded to equal length
+
+
+class TestShapeBucketing:
+    def test_mixed_coil_counts_yield_homogeneous_batches(self, tmp_path, rng):
+        """Volumes with different coil counts must never share a batch
+        (SURVEY §7 hard part #6)."""
+        from cinemri_tpu.data.synthetic import write_hdf5_volume
+        from cinemri_tpu.train.loader import Loader
+
+        d = tmp_path / "mixed"
+        d.mkdir()
+        for i, nc in enumerate([3, 5, 3, 5]):
+            write_hdf5_volume(d / f"v{i}.h5", num_frames=3, num_coils=nc, h=24, w=24, seed=i)
+        ds = SliceDataset(d, transform=VarNetDataTransform(RandomMask([4], [2])),
+                          maps_cache_dir=tmp_path / "m")
+        loader = Loader(ds, batch_size=2, shuffle=True, seed=3)
+        seen = []
+        for batch in loader.epoch(0):
+            # np.stack would raise on heterogeneous shapes; also check coils
+            seen.append(batch["masked_kspace"].shape[2])
+        assert sorted(seen) == [3, 5]
