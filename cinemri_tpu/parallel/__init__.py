@@ -7,6 +7,11 @@ from cinemri_tpu.parallel.mesh import (
     shard_batch,
     ARRAY_KEYS,
 )
+from cinemri_tpu.parallel.distributed import (
+    initialize,
+    process_info,
+    make_process_sum,
+)
 
 __all__ = [
     "make_mesh",
@@ -14,4 +19,7 @@ __all__ = [
     "replicated_sharding",
     "shard_batch",
     "ARRAY_KEYS",
+    "initialize",
+    "process_info",
+    "make_process_sum",
 ]

@@ -10,13 +10,46 @@ stay on one worker (the VolumeSampler contract).
 
 from __future__ import annotations
 
+import queue
+import threading
 from typing import Dict, Iterator, List, Optional
 
 import numpy as np
 
 from cinemri_tpu.data.sharding import data_shard_indices, volume_shard_indices
 
-__all__ = ["Loader", "collate"]
+__all__ = ["Loader", "collate", "prefetch"]
+
+
+def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
+    """Run ``iterator`` in a background thread, keeping ``size`` items ready.
+
+    The decode path (HDF5 read or cache read + mask generation) overlaps
+    with device compute — the role of the reference's 4 DataLoader worker
+    processes (data_module.py:196-202), without process-fork overhead
+    (decoding is numpy, which releases the GIL for the heavy parts).
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    sentinel = object()
+    err: List[BaseException] = []
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:  # propagate into the consumer
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item
 
 _STACK_KEYS = ("masked_kspace", "mask", "target", "sens_maps")
 
@@ -47,6 +80,7 @@ class Loader:
         seed: int = 42,
         drop_last: bool = False,
         bucket_by_shape: bool = True,
+        prefetch_size: int = 2,
     ):
         """``bucket_by_shape``: reorder each epoch so consecutive batches are
         homogeneous in (coil count, encoding size). Real cine archives mix
@@ -62,6 +96,7 @@ class Loader:
         self.seed = seed
         self.drop_last = drop_last
         self.bucket_by_shape = bucket_by_shape
+        self.prefetch_size = prefetch_size
 
     def _indices(self, epoch: int) -> List[int]:
         if self.volume_aware and self.num_replicas > 1:
@@ -90,6 +125,12 @@ class Loader:
         return -(-n // self.batch_size)
 
     def epoch(self, epoch: int = 0) -> Iterator[Dict]:
+        it = self._epoch_iter(epoch)
+        if self.prefetch_size > 0:
+            return prefetch(it, self.prefetch_size)
+        return it
+
+    def _epoch_iter(self, epoch: int) -> Iterator[Dict]:
         # reseed per-epoch mask RNG deterministically (the reference's
         # worker_init_fn analogue, data_module.py:18-61)
         tr = getattr(self.dataset, "transform", None)

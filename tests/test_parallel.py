@@ -130,3 +130,31 @@ class TestSequenceParallelPlanes:
         xs = jax.device_put(x, batch_sharding(mesh, "plane"))
         out_shard = to_numpy(jax.jit(lambda p, v: net.apply(p, v))(params, xs))
         np.testing.assert_allclose(out_shard, out_rep, rtol=2e-4, atol=2e-5)
+
+
+class TestDistributedHelpers:
+    def test_process_info_single_host(self):
+        from cinemri_tpu.parallel import process_info
+
+        assert process_info() == (0, 1)
+
+    def test_process_sum_identity_single_host(self):
+        from cinemri_tpu.parallel import make_process_sum
+
+        assert make_process_sum()(3.5) == 3.5
+
+
+class TestPrefetch:
+    def test_prefetch_preserves_order_and_propagates_errors(self):
+        from cinemri_tpu.train.loader import prefetch
+
+        assert list(prefetch(iter(range(10)), size=3)) == list(range(10))
+
+        def boom():
+            yield 1
+            raise RuntimeError("decode failed")
+
+        it = prefetch(boom(), size=2)
+        assert next(it) == 1
+        with pytest.raises(RuntimeError, match="decode failed"):
+            list(it)
