@@ -47,7 +47,7 @@ def main():
     model = build_model(
         "varnet", "XF", num_cascades=10, sens_chans=8, sens_pools=3, chans=16, pools=3
     )
-    params = model.init(jax.random.PRNGKey(0), masked_kspace, mask)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), masked_kspace, mask)
     fwd = jax.jit(lambda p, kk, mm: model.apply(p, kk, mm))
 
     # warmup / compile

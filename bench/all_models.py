@@ -59,7 +59,7 @@ def main(full: bool = False):
             model = build_model(family, dyn, **kwargs)
             args = (km, mask, sens) if family == "cinenet" else (km, mask)
             t0 = time.perf_counter()
-            params = model.init(jax.random.PRNGKey(0), *args)
+            params = jax.jit(model.init)(jax.random.PRNGKey(0), *args)
             fwd = jax.jit(lambda p, *a: model.apply(p, *a))
             out = np.asarray(fwd(params, *args))
             compile_s = time.perf_counter() - t0

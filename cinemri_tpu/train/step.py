@@ -49,7 +49,9 @@ def create_train_state(model, example_batch, tx: optax.GradientTransformation, r
     args = (example_batch["masked_kspace"], example_batch["mask"])
     if "sens_maps" in example_batch:
         args = args + (example_batch["sens_maps"],)
-    params = model.init(rng, *args)
+    # jit the initializer: on remote-dispatch TPU backends an eager init
+    # would round-trip per op
+    params = jax.jit(model.init)(rng, *args)
     return TrainState.create(apply_fn=model_apply_fn(model), params=params, tx=tx)
 
 
