@@ -48,18 +48,24 @@ def main():
         "varnet", "XF", num_cascades=10, sens_chans=8, sens_pools=3, chans=16, pools=3
     )
     params = jax.jit(model.init)(jax.random.PRNGKey(0), masked_kspace, mask)
-    fwd = jax.jit(lambda p, kk, mm: model.apply(p, kk, mm))
+    # reduce to a scalar on device: synchronizing on the scalar forces the
+    # queued executions to complete without paying a full-volume D2H per run
+    # (block_until_ready does not reliably wait on all TPU backends, and the
+    # volume transfer itself is slow through remote-dispatch tunnels)
+    fwd_sum = jax.jit(lambda p, kk, mm: jnp.sum(model.apply(p, kk, mm)))
 
-    # warmup / compile
-    np.asarray(fwd(params, masked_kspace, mask))  # also validates the result transfers
+    out = np.asarray(
+        jax.jit(lambda p, kk, mm: model.apply(p, kk, mm))(params, masked_kspace, mask)
+    )
+    assert np.isfinite(out).all(), "non-finite reconstruction"
+    float(fwd_sum(params, masked_kspace, mask))  # warm the timed program
 
-    runs = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        fwd(params, masked_kspace, mask).block_until_ready()
-        runs.append(time.perf_counter() - t0)
-    best = min(runs)
-    fps = T / best
+    n = 20
+    t0 = time.perf_counter()
+    vals = [fwd_sum(params, masked_kspace, mask) for _ in range(n)]
+    float(vals[-1])  # sync on the final scalar: all n executions are done
+    per_volume = (time.perf_counter() - t0) / n
+    fps = T / per_volume
 
     print(
         json.dumps(

@@ -61,15 +61,16 @@ def main(full: bool = False):
             t0 = time.perf_counter()
             params = jax.jit(model.init)(jax.random.PRNGKey(0), *args)
             fwd = jax.jit(lambda p, *a: model.apply(p, *a))
+            fwd_sum = jax.jit(lambda p, *a: jnp.sum(model.apply(p, *a)))
             out = np.asarray(fwd(params, *args))
+            float(fwd_sum(params, *args))
             compile_s = time.perf_counter() - t0
             assert np.isfinite(out).all()
-            runs = []
-            for _ in range(5):
-                t0 = time.perf_counter()
-                fwd(params, *args).block_until_ready()
-                runs.append(time.perf_counter() - t0)
-            best = min(runs)
+            n = 20
+            t0 = time.perf_counter()
+            vals = [fwd_sum(params, *args) for _ in range(n)]
+            float(vals[-1])  # sync on the final scalar
+            best = (time.perf_counter() - t0) / n
             print(json.dumps({
                 "model": f"{family}-{dyn}",
                 "volume_ms": round(best * 1000, 2),

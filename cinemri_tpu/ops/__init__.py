@@ -1,6 +1,7 @@
 """Numerics core (reference layer L0, reconstruction/utils/)."""
 
 from cinemri_tpu.ops.fft import (
+    set_dft_precision,
     fft1c,
     ifft1c,
     fft1c_alt,
@@ -32,6 +33,7 @@ from cinemri_tpu.ops import cplx
 from cinemri_tpu.ops.cplx import Complex
 
 __all__ = [
+    "set_dft_precision",
     "fft1c",
     "ifft1c",
     "fft1c_alt",

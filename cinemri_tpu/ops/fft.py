@@ -38,6 +38,7 @@ import numpy as np
 from cinemri_tpu.ops.cplx import Complex
 
 __all__ = [
+    "set_dft_precision",
     "fft1c",
     "ifft1c",
     "fft1c_alt",
@@ -55,6 +56,29 @@ ifftshift = jnp.fft.ifftshift
 # additions; on MXU-bound shapes it is ~25% faster, at slightly different
 # rounding. Enabled by default on the matmul path.
 _GAUSS = True
+
+# MXU precision of the DFT matmuls. HIGHEST = f32-exact (6 bf16 passes,
+# roundtrip error ~3e-7); HIGH = 3 passes, ~30% faster end-to-end, roundtrip
+# error ~6e-5 (measured on v5e); DEFAULT (1 bf16 pass, ~8e-3) is too coarse
+# for k-space data consistency. Throughput-oriented serving can switch with
+# :func:`set_dft_precision`.
+_DFT_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def set_dft_precision(precision) -> None:
+    """Set the matmul precision of the Complex-pair DFT path.
+
+    Accepts a ``jax.lax.Precision`` or one of 'highest'/'high'/'default'.
+    Callers must re-jit (new trace) for the change to take effect.
+    """
+    global _DFT_PRECISION
+    if isinstance(precision, str):
+        precision = {
+            "highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT,
+        }[precision.lower()]
+    _DFT_PRECISION = precision
 
 
 @lru_cache(maxsize=None)
@@ -89,9 +113,7 @@ def _apply_dft(x: Complex, axis: int, inverse: bool, alt: bool, norm: str) -> Co
 
     def mm(w, v):
         # contract v's `axis` with w's column index: y[..., j, ...] = Σ_k w[j,k] v[..., k, ...]
-        out = jnp.tensordot(
-            v, w, axes=((axis,), (1,)), precision=jax.lax.Precision.HIGHEST
-        )
+        out = jnp.tensordot(v, w, axes=((axis,), (1,)), precision=_DFT_PRECISION)
         return jnp.moveaxis(out, -1, axis)
 
     if _GAUSS:
