@@ -104,12 +104,37 @@ def _dft_matrix(n: int, inverse: bool, alt: bool, norm: str):
     )
 
 
+# backend for the Complex-pair DFT: "xla" (tensordot chain) or "pallas"
+# (fused VMEM-resident kernel, ops/kernels/dft_pallas.py).
+_DFT_BACKEND = "xla"
+
+
+def set_dft_backend(backend: str) -> None:
+    global _DFT_BACKEND
+    if backend not in ("xla", "pallas"):
+        raise ValueError(f"unknown DFT backend {backend!r}")
+    _DFT_BACKEND = backend
+
+
 def _apply_dft(x: Complex, axis: int, inverse: bool, alt: bool, norm: str) -> Complex:
     n = x.shape[axis]
     wr_np, wi_np = _dft_matrix(n, inverse, alt, norm)
+    axis = axis % x.ndim
+
+    if _DFT_BACKEND == "pallas":
+        from cinemri_tpu.ops.kernels.dft_pallas import complex_dft_matmul_pallas
+
+        shape = x.shape
+        xr = jnp.moveaxis(x.re, axis, -1).reshape(-1, n)
+        xi = jnp.moveaxis(x.im, axis, -1).reshape(-1, n)
+        yr, yi = complex_dft_matmul_pallas(xr, xi, wr_np, wi_np)
+        moved = tuple(shape[a] for a in range(len(shape)) if a != axis) + (n,)
+        yr = jnp.moveaxis(yr.reshape(moved), -1, axis)
+        yi = jnp.moveaxis(yi.reshape(moved), -1, axis)
+        return Complex(yr, yi)
+
     wr = jnp.asarray(wr_np)
     wi = jnp.asarray(wi_np)
-    axis = axis % x.ndim
 
     def mm(w, v):
         # contract v's `axis` with w's column index: y[..., j, ...] = Σ_k w[j,k] v[..., k, ...]
