@@ -159,12 +159,11 @@ def _gauss(mm, wr, wi, x: Complex) -> Complex:
 def _centered(x, axis: int, inverse: bool, alt: bool, norm: str):
     if isinstance(x, Complex):
         return _apply_dft(x, axis, inverse, alt, norm)
-    # native complex path (numpy arrays / complex jnp on CPU backends)
+    # native complex path (numpy arrays / complex jnp on CPU backends);
+    # the alt-inverse case is handled by ifft1c_alt's dense-matrix route
     f = jnp.fft.ifft if inverse else jnp.fft.fft
     if not alt:
         return fftshift(f(ifftshift(x, axes=axis), axis=axis, norm=norm), axes=axis)
-    if not inverse:
-        return ifftshift(f(fftshift(x, axes=axis), axis=axis, norm=norm), axes=axis)
     return ifftshift(f(fftshift(x, axes=axis), axis=axis, norm=norm), axes=axis)
 
 

@@ -43,6 +43,7 @@ class TrainerConfig:
     compute_train_metrics: bool = True
     num_log_images: int = 1
     max_checkpoints: int = 3
+    debug_nans: bool = False  # raise at the first NaN-producing op
 
 
 class Trainer:
@@ -69,6 +70,10 @@ class Trainer:
             if config.ckpt_dir is not None
             else None
         )
+        if config.debug_nans:
+            from cinemri_tpu.instrument import enable_nan_checks
+
+            enable_nan_checks(True)
         self._train_step = make_train_step()
         self._eval_step = make_eval_step()
         self.state = None
