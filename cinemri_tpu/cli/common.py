@@ -93,6 +93,9 @@ def build_parser(family: str) -> argparse.ArgumentParser:
     p.add_argument("--batch_size", default=1, type=int)
     p.add_argument("--maps_cache_dir", default=None, type=Path,
                    help="Cache dir for preprocessed volumes + ESPIRiT maps")
+    p.add_argument("--num_workers", default=4, type=int,
+                   help="Prefetch depth of the host input pipeline (the "
+                        "reference's DataLoader worker count analogue)")
 
     # model args (varnet_module.py:161-239 etc.)
     for k, v in MODEL_DEFAULTS[family].items():
@@ -199,7 +202,13 @@ def train_test_main(family: str, argv=None) -> Dict:
                 volume_sample_rate=args.volume_sample_rate if is_train else None,
                 maps_cache_dir=args.maps_cache_dir,
             )
-        return Loader(ds, batch_size=args.batch_size, shuffle=shuffle, seed=args.seed)
+        return Loader(
+            ds,
+            batch_size=args.batch_size,
+            shuffle=shuffle,
+            seed=args.seed,
+            prefetch_size=max(int(args.num_workers), 0),
+        )
 
     model = _build_model_from_args(family, args)
     cfg = TrainerConfig(

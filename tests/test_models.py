@@ -192,3 +192,46 @@ class TestDenoisers:
             build_model("foonet")
         with pytest.raises(ValueError):
             build_model("xpdnet", "3D", **SMALL["xpdnet"])
+
+
+class TestRobustness:
+    def test_remat_matches_no_remat(self, batch):
+        """Rematerialized cascades must be numerically identical."""
+        k, m, _ = batch
+        a = build_model("varnet", "XF", remat=True, **SMALL["varnet"])
+        b = build_model("varnet", "XF", remat=False, **SMALL["varnet"])
+        p = a.init(jax.random.PRNGKey(0), k, m)
+        np.testing.assert_allclose(
+            np.asarray(a.apply(p, k, m)), np.asarray(b.apply(p, k, m)),
+            rtol=1e-6, atol=1e-7,
+        )
+
+    def test_equispaced_static_mask_broadcasts(self, rng):
+        """Equispaced masks are (b, 1, 1, h, 1) — a single frame broadcast
+        over time (subsample.py:210-214); the whole stack must accept it."""
+        from cinemri_tpu.data.masks import EquispacedMask
+        from cinemri_tpu.ops.cplx import from_complex
+
+        t, c, h, w = 3, 2, 24, 16
+        k = (rng.standard_normal((1, t, c, h, w)) + 1j * rng.standard_normal((1, t, c, h, w))).astype(np.complex64)
+        mask = EquispacedMask([0.25], [2])(t, h, seed=4)[None]  # (1,1,1,h,1)
+        assert mask.shape == (1, 1, 1, h, 1)
+        model = build_model("varnet", "XF", **SMALL["varnet"])
+        km, m = from_complex(k * mask), jnp.asarray(mask.astype(np.float32))
+        p = model.init(jax.random.PRNGKey(0), km, m)
+        out = model.apply(p, km, m)
+        assert out.shape == (1, t, h, w) and bool(jnp.isfinite(out).all())
+
+    def test_eightfold_acceleration_mask(self, rng):
+        """The notebook's 8x experiments: masks stay valid and models run."""
+        from cinemri_tpu.data.masks import RandomMask
+        from cinemri_tpu.ops.cplx import from_complex
+
+        t, c, h, w = 3, 2, 32, 16
+        mask = RandomMask([4], [8])(t, h, seed=1)[None]
+        assert mask[0, :, 0, :, 0].sum(axis=1).max() <= h // 8 + 1
+        k = (rng.standard_normal((1, t, c, h, w)) + 1j * rng.standard_normal((1, t, c, h, w))).astype(np.complex64)
+        model = build_model("varnet", "2D", **SMALL["varnet"])
+        km, m = from_complex(k * mask), jnp.asarray(mask.astype(np.float32))
+        p = model.init(jax.random.PRNGKey(0), km, m)
+        assert bool(jnp.isfinite(model.apply(p, km, m)).all())
