@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import time
 from pathlib import Path
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import numpy as np
@@ -19,7 +19,41 @@ import numpy as np
 from cinemri_tpu.data.transforms import center_crop_to_smallest
 from cinemri_tpu.ops.cplx import from_complex
 
-__all__ = ["InferenceRunner", "zero_filled_recon"]
+__all__ = ["InferenceRunner", "zero_filled_recon", "reconstruct_long_clip"]
+
+
+def reconstruct_long_clip(
+    forward,
+    masked_kspace: np.ndarray,
+    mask: np.ndarray,
+    chunk_frames: int = 15,
+) -> np.ndarray:
+    """Reconstruct a clip longer than the trained temporal extent.
+
+    The reference handles long cine clips offline by splitting them into
+    15-frame chunks and concatenating the reconstructions
+    (reconstruction_visualisation.ipynb cell 0 text / cell 2). Same recipe:
+    ``forward(masked_kspace_chunk, mask_chunk) -> (b, tc, h, w)`` is called
+    per chunk (a trailing short chunk is left-extended to keep the jitted
+    shape static) and outputs are stitched along t.
+
+    Args:
+        forward: callable over numpy complex k-space (b, t, c, h, w) and
+            mask (b, t|1, 1, h, 1); e.g. a jitted, weight-bound model.
+    """
+    t = masked_kspace.shape[1]
+    if t <= chunk_frames:
+        return np.asarray(forward(masked_kspace, mask))
+    outs = []
+    static_mask = mask.shape[1] == 1
+    for start in range(0, t, chunk_frames):
+        end = min(start + chunk_frames, t)
+        lo = end - chunk_frames  # left-extend the final short chunk
+        k_chunk = masked_kspace[:, lo:end]
+        m_chunk = mask if static_mask else mask[:, lo:end]
+        out = np.asarray(forward(k_chunk, m_chunk))
+        outs.append(out[:, start - lo :])
+    return np.concatenate(outs, axis=1)
 
 
 def zero_filled_recon(masked_kspace: np.ndarray) -> np.ndarray:

@@ -26,8 +26,8 @@ import jax
 import jax.numpy as jnp
 
 from cinemri_tpu.models.denoisers.unet import Unet
-from cinemri_tpu.models.varnet import LAMBDA_INIT, lambda_init
-from cinemri_tpu.ops.cplx import Complex, cmean, from_channels, to_channels
+from cinemri_tpu.models.varnet import lambda_init
+from cinemri_tpu.ops.cplx import cmean, from_channels, to_channels
 from cinemri_tpu.ops.fft import fft1c, ifft1c
 from cinemri_tpu.physics.cg import conj_grad
 from cinemri_tpu.physics.operators import normal_plus_lambda, sens_reduce

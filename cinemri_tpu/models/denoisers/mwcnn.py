@@ -9,7 +9,7 @@ Used as XPDNet's image-space denoiser.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

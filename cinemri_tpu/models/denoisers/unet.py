@@ -17,8 +17,6 @@ nonzero a 'dropout' PRNG collection is required.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import flax.linen as nn
 import jax.numpy as jnp
 

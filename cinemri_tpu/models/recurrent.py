@@ -23,8 +23,6 @@ broadcast; each iteration is rematerialized.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -30,7 +30,7 @@ I/O: ``masked_kspace (b, t, c, h, w)``, ``mask`` -> ``(b, t, h, w) float32``.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -29,8 +29,6 @@ Conventions (parity targets, reference file:line):
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Union
-
 import jax
 import jax.numpy as jnp
 import numpy as np

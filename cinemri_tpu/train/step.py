@@ -15,7 +15,7 @@ DDP/NCCL wrapper provides in the reference.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Tuple
+from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

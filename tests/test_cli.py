@@ -135,3 +135,32 @@ class TestVisualize:
         written = viz_main(["--save_path", str(tmp_path)])
         assert len(written) == 1
         assert written[0].exists() and written[0].stat().st_size > 0
+
+
+class TestLongClip:
+    def test_chunked_reconstruction_stitches_frames(self, rng):
+        """Long-clip chunking (notebook cell 0/2 workflow): chunk outputs
+        must tile the full clip, and a linear 'model' must reproduce the
+        unchunked result exactly."""
+        from cinemri_tpu.cli.inference import reconstruct_long_clip
+
+        t, c, h, w = 11, 2, 8, 8
+        k = (rng.standard_normal((1, t, c, h, w)) + 1j * rng.standard_normal((1, t, c, h, w))).astype(np.complex64)
+        mask = np.ones((1, 1, 1, h, 1), np.float32)
+
+        # frame-local surrogate model: per-frame RSS (chunking must be exact)
+        fwd = lambda kk, mm: np.sqrt((np.abs(kk) ** 2).sum(axis=2))
+        full = fwd(k, mask)
+        chunked = reconstruct_long_clip(fwd, k, mask, chunk_frames=4)
+        assert chunked.shape == (1, t, h, w)
+        np.testing.assert_allclose(chunked, full, rtol=1e-6)
+
+    def test_short_clip_passthrough(self, rng):
+        from cinemri_tpu.cli.inference import reconstruct_long_clip
+
+        k = (rng.standard_normal((1, 3, 2, 8, 8)) + 1j * rng.standard_normal((1, 3, 2, 8, 8))).astype(np.complex64)
+        mask = np.ones((1, 1, 1, 8, 1), np.float32)
+        calls = []
+        fwd = lambda kk, mm: (calls.append(1), np.abs(kk).sum(axis=2))[1]
+        out = reconstruct_long_clip(fwd, k, mask, chunk_frames=15)
+        assert len(calls) == 1 and out.shape == (1, 3, 8, 8)
