@@ -311,3 +311,52 @@ class TestRecurrentParity:
         }
         got = np.asarray(fxr.apply(params, from_complex(masked), jnp.asarray(mask)))
         np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-4)
+
+
+class TestXPDNetDualBufferParity:
+    def test_xpdnet_dual_buffer_with_kspace_cnn(self, rng):
+        """primal_only=False: the KSpaceCNN dual-buffer path vs torch."""
+        t, c, h, w = 3, 2, 16, 16
+        k = _crandn(rng, 1, t, c, h, w)
+        mask = _mask(rng, t, h, center=4)
+        masked = k * mask
+
+        with _cpu_cuda():
+            txp = REF.xpdnet.XPDNet(
+                num_cascades=2, sens_chans=4, sens_pools=2, n_scales=2,
+                n_filters_per_scale=[4, 8], n_convs_per_scale=[2, 2],
+                n_first_convs=1, first_conv_n_filters=6, n_primal=3,
+                primal_only=False, n_dual=2, dynamic_type="XF",
+            ).eval()
+            with torch.no_grad():
+                want = txp(tr.to_torch_complex6(masked), tr.mask_to_torch(mask)).numpy()
+
+        fxp = build_model(
+            "xpdnet", "XF", num_cascades=2, sens_chans=4, sens_pools=2,
+            n_scales=2, n_filters_per_scale=(4, 8), n_convs_per_scale=(2, 2),
+            n_first_convs=1, first_conv_n_filters=6, n_primal=3,
+            primal_only=False, n_dual=2,
+        )
+
+        def kspace_cnn_params(tknet):
+            # reference KSpaceCNN: Sequential [Conv3d, ReLU, Conv3d, ReLU, Conv3d]
+            convs = [m for m in tknet.layers if hasattr(m, "weight")]
+            return {f"Conv_{i}": tr.conv_w(m) for i, m in enumerate(convs)}
+
+        per_cascade = [
+            {
+                "image_net_xf": tr.mwcnn_params(txp.image_net[i][0]),
+                "image_net_yf": tr.mwcnn_params(txp.image_net[i][1]),
+                "kspace_net": kspace_cnn_params(txp.kspace_net[i]),
+            }
+            for i in range(2)
+        ]
+        stacked = jax.tree.map(lambda *xs: np.stack(xs), *per_cascade)
+        params = {
+            "params": {
+                "sens_net": {"Unet_0": tr.unet_params(txp.sens_net.unet_model)},
+                "cascades": stacked,
+            }
+        }
+        got = np.asarray(fxp.apply(params, from_complex(masked), jnp.asarray(mask)))
+        np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-4)
