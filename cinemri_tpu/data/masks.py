@@ -85,6 +85,14 @@ class RandomMask(MaskFunc):
         if sample_n:
             pdf_x[nx // 2 - sample_n // 2 : nx // 2 + sample_n // 2] = 0
             n_lines -= sample_n
+        if n_lines < 0:
+            # the reference crashes inside np.random.choice here with
+            # "Negative dimensions are not allowed"; fail with the cause
+            raise ValueError(
+                f"center_lines={sample_n} exceeds the sampling budget "
+                f"{nx}/{acc}={int(nx / acc)} lines for {nx} rows at "
+                f"acceleration {acc}"
+            )
         # the reference only normalizes when sample_n > 0 (subsample.py:133),
         # which makes center_lines=0 crash np.random.choice; normalizing
         # unconditionally is identical otherwise.

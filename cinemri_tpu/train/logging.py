@@ -36,23 +36,37 @@ class TrainLogger:
     def cine_video(self, tag: str, target, output, step: int, fps: int = 15):
         """Log target / reconstruction / error videos (mri_module.py:96-111).
 
-        target/output: (t, h, w) float arrays.
+        target/output: (t, h, w) float arrays. tensorboardX encodes video via
+        moviepy; when it is unavailable, fall back to a frame strip image so
+        the qualitative log survives on minimal installs.
         """
         if not self.enabled:
             return
         target = np.asarray(target, np.float32)
         output = np.asarray(output, np.float32)
         error = np.abs(target - output)
+        try:
+            import moviepy  # noqa: F401
+
+            has_moviepy = True
+        except ImportError:
+            has_moviepy = False
         for name, vid in (
             ("target", target),
             ("reconstruction", output),
             ("error", error),
         ):
             v = vid / max(float(vid.max()), 1e-12)
-            # tensorboardX add_video wants (N, T, C, H, W) in [0, 1]
-            self._writer.add_video(
-                f"{tag}/{name}", v[None, :, None, :, :], global_step=step, fps=fps
-            )
+            if has_moviepy:
+                # tensorboardX add_video wants (N, T, C, H, W) in [0, 1]
+                self._writer.add_video(
+                    f"{tag}/{name}", v[None, :, None, :, :], global_step=step, fps=fps
+                )
+            else:
+                strip = np.concatenate(list(v), axis=1)  # (h, t*w)
+                self._writer.add_image(
+                    f"{tag}/{name}", strip[None], global_step=step
+                )
 
     def flush(self):
         if self.enabled:
