@@ -116,7 +116,7 @@ def build_parser(family: str) -> argparse.ArgumentParser:
     p.add_argument("--lr_gamma", default=0.01, type=float)
     p.add_argument("--weight_decay", default=0.0, type=float)
     p.add_argument("--seed", default=42, type=int)
-    p.add_argument("--num_log_images", default=1, type=int)
+    p.add_argument("--num_log_images", default=2, type=int)  # mri_module.py:505
     return p
 
 

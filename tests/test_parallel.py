@@ -158,3 +158,34 @@ class TestPrefetch:
         assert next(it) == 1
         with pytest.raises(RuntimeError, match="decode failed"):
             list(it)
+
+
+class TestTrainerOnMesh:
+    def test_full_trainer_epoch_data_parallel(self, tmp_path, rng):
+        """The Trainer itself (loader -> shard_batch -> jitted step ->
+        metrics) over the 8-device mesh."""
+        from cinemri_tpu.data import RandomMask, SliceDataset, VarNetDataTransform
+        from cinemri_tpu.data.synthetic import make_synthetic_dataset
+        from cinemri_tpu.train import Loader, Trainer, TrainerConfig
+
+        root = make_synthetic_dataset(
+            tmp_path / "d", splits=("train",), volumes_per_split=8,
+            num_frames=3, num_coils=2, h=24, w=24,
+        )
+        ds = SliceDataset(
+            root / "train",
+            transform=VarNetDataTransform(RandomMask([4], [2]), use_seed=True),
+            maps_cache_dir=tmp_path / "m",
+        )
+        trainer = Trainer(
+            build_model("varnet", "2D", **TINY),
+            TrainerConfig(epochs=2, lr=3e-3, compute_train_metrics=False),
+            train_loader=Loader(ds, batch_size=8, shuffle=True),
+            mesh=make_mesh(),
+        )
+        history = trainer.fit()
+        assert len(history) == 2
+        assert history[1]["train_loss"] < history[0]["train_loss"]
+        # params replicated across the mesh
+        leaf = jax.tree.leaves(trainer.state.params)[0]
+        assert len(leaf.sharding.device_set) == 8
