@@ -117,6 +117,13 @@ def build_parser(family: str) -> argparse.ArgumentParser:
     p.add_argument("--weight_decay", default=0.0, type=float)
     p.add_argument("--seed", default=42, type=int)
     p.add_argument("--num_log_images", default=2, type=int)  # mri_module.py:505
+    _bool2 = lambda v: str(v).lower() in ("1", "true", "yes")
+    p.add_argument(
+        "--compute_train_metrics", default=True, type=_bool2,
+        help="Per-step host-side train NMSE/SSIM (the reference's "
+             "training_step_end behavior, mri_module.py:216-293); disable "
+             "for maximum step throughput",
+    )
     return p
 
 
@@ -179,6 +186,8 @@ def train_test_main(family: str, argv=None) -> Dict:
             ds = CombinedSliceDataset(
                 roots=[data_path / "train", data_path / "valid"],
                 transforms=[transform, transform],
+                use_dataset_cache=args.use_dataset_cache_file,
+                dataset_cache_file=log_root / "dataset_cache.pkl",
                 sample_rates=(
                     [args.sample_rate] * 2 if args.sample_rate is not None else None
                 ),
@@ -200,6 +209,8 @@ def train_test_main(family: str, argv=None) -> Dict:
                 transform=transform,
                 sample_rate=args.sample_rate if is_train else None,
                 volume_sample_rate=args.volume_sample_rate if is_train else None,
+                use_dataset_cache=args.use_dataset_cache_file,
+                dataset_cache_file=log_root / "dataset_cache.pkl",
                 maps_cache_dir=args.maps_cache_dir,
             )
         return Loader(
@@ -222,6 +233,7 @@ def train_test_main(family: str, argv=None) -> Dict:
         log_dir=log_root / "tensorboard",
         save_path=save_path,
         num_log_images=args.num_log_images,
+        compute_train_metrics=args.compute_train_metrics,
     )
     trainer = Trainer(
         model,
@@ -245,14 +257,10 @@ def train_test_main(family: str, argv=None) -> Dict:
             trainer.ckpt.save(args.epochs, trainer._ckpt_tree(args.epochs))
             trainer.ckpt.wait()
     elif args.mode == "test":
-        first = next(iter(trainer.test_loader.epoch(0)))
-        from cinemri_tpu.parallel.mesh import shard_batch
-
+        first = trainer.test_loader.first_batch()
+        trainer.init_state(first)
         if args.load_model:
-            trainer.init_state(shard_batch(first, None))
-            trainer.restore_latest(shard_batch(first, None))
-        else:
-            trainer.init_state(shard_batch(first, None))
+            trainer.restore_latest(first)
         results["test_metrics"] = trainer.test()
         print("test metrics:", results["test_metrics"])
 

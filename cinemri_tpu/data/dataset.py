@@ -170,6 +170,7 @@ class SliceDataset:
             if use_dataset_cache and cache.get(key) is None:
                 cache[key] = self.examples
                 logger.info("Saving dataset cache to %s.", self.dataset_cache_file)
+                self.dataset_cache_file.parent.mkdir(parents=True, exist_ok=True)
                 with open(self.dataset_cache_file, "wb") as f:
                     pickle.dump(cache, f)
         else:

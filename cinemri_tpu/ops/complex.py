@@ -1,15 +1,13 @@
-"""Complex-layout adapters and complex math helpers.
+"""HOST-side complex-layout adapters (reference utils/math.py).
 
-This framework stores complex data natively as ``complex64`` (XLA supports
-it end-to-end), whereas the reference stores a trailing real/imag dim of
-size 2 (reconstruction/utils/math.py:5-79) and a ``2n``-channel multi-complex
-packing for XPDNet buffers (math.py:97-135). The helpers here exist for:
-
-  * boundary adaptation (datasets on disk, parity tests against the
-    reference layout);
-  * packing complex images into real channel stacks at the entry of real
-    convolutional denoisers (first-n-real / last-n-imag order, matching the
-    reference's ``complex_to_real_multi_ch``).
+The on-device compute path carries :class:`cinemri_tpu.ops.cplx.Complex`
+(re, im) float pairs — complex dtypes never reach the device (see
+ops/cplx.py and parallel/mesh.py). This module handles the *host-side*
+layouts instead: numpy ``complex64`` at dataset/artifact boundaries, the
+reference's trailing real/imag dim of size 2
+(reconstruction/utils/math.py:5-79), and its ``2n``-channel multi-complex
+packing for XPDNet buffers (math.py:97-135) — used by parity tests and
+on-disk interop, never inside jitted model code.
 """
 
 from __future__ import annotations

@@ -6,10 +6,17 @@ Parity target: the reference's Lightning ModelCheckpoint monitoring
 (SURVEY §5): atomic async saves and restart-safe auto-restore — the TPU
 preemption story. The checkpoint tree carries params, optimizer state, the
 step counter, epoch, and the PRNG key, so a resumed run is bit-continuous.
+
+Retention keeps **both** the ``max_to_keep`` best-by-monitor checkpoints
+*and* the most recent one (orbax's built-in ``best_fn`` retention alone
+would delete the newest checkpoint whenever its metric isn't among the
+best, breaking resume). Best-step tracking persists to ``best_steps.json``
+in the checkpoint directory so it survives process restarts.
 """
 
 from __future__ import annotations
 
+import json
 from pathlib import Path
 from typing import Any, Dict, Optional
 
@@ -20,22 +27,54 @@ __all__ = ["CheckpointManager"]
 
 
 class CheckpointManager:
-    """Thin wrapper over orbax CheckpointManager with best-val tracking."""
+    """Thin wrapper over orbax CheckpointManager with best+latest retention."""
 
     def __init__(self, directory: Path, max_to_keep: int = 3, monitor: str = "val_loss"):
         self.directory = Path(directory).absolute()
         self.directory.mkdir(parents=True, exist_ok=True)
         self.monitor = monitor
-        options = ocp.CheckpointManagerOptions(
-            max_to_keep=max_to_keep,
-            best_fn=lambda m: m.get(monitor, float("inf")),
-            best_mode="min",
+        self.max_to_keep = max_to_keep
+        # retention is managed here (best-k + latest); orbax keeps everything
+        self._mgr = ocp.CheckpointManager(
+            str(self.directory), options=ocp.CheckpointManagerOptions(max_to_keep=None)
         )
-        self._mgr = ocp.CheckpointManager(str(self.directory), options=options)
+        self._metrics_file = self.directory / "best_steps.json"
+        self._metrics: Dict[int, float] = {}
+        if self._metrics_file.exists():
+            self._metrics = {
+                int(k): float(v)
+                for k, v in json.loads(self._metrics_file.read_text()).items()
+            }
+
+    def _retained(self) -> set:
+        """Steps to keep: the max_to_keep best by monitor value + the latest."""
+        steps = self._mgr.all_steps()
+        if not steps:
+            return set()
+        by_metric = sorted(
+            (s for s in steps if s in self._metrics), key=lambda s: self._metrics[s]
+        )
+        keep = set(by_metric[: self.max_to_keep])
+        keep.add(max(steps))
+        # steps saved without metrics (e.g. an explicit final save) are kept
+        keep.update(s for s in steps if s not in self._metrics)
+        return keep
+
+    def _enforce_retention(self):
+        keep = self._retained()
+        for s in self._mgr.all_steps():
+            if s not in keep:
+                self._mgr.delete(s)
 
     def save(self, step: int, tree: Dict[str, Any], metrics: Optional[Dict] = None):
-        metrics = {k: float(v) for k, v in (metrics or {}).items()}
-        self._mgr.save(step, args=ocp.args.StandardSave(tree), metrics=metrics)
+        self._mgr.save(step, args=ocp.args.StandardSave(tree))
+        if metrics and self.monitor in metrics:
+            self._metrics[int(step)] = float(metrics[self.monitor])
+            self._metrics_file.write_text(
+                json.dumps({str(k): v for k, v in self._metrics.items()})
+            )
+        self._mgr.wait_until_finished()
+        self._enforce_retention()
 
     def wait(self):
         self._mgr.wait_until_finished()
@@ -46,7 +85,11 @@ class CheckpointManager:
 
     @property
     def best_step(self) -> Optional[int]:
-        return self._mgr.best_step()
+        """Best retained step by monitor value (min), else the latest."""
+        candidates = [s for s in self._mgr.all_steps() if s in self._metrics]
+        if not candidates:
+            return self.latest_step
+        return min(candidates, key=lambda s: self._metrics[s])
 
     def restore(self, tree_like: Dict[str, Any], step: Optional[int] = None):
         """Restore ``step`` (default: latest) into the structure of ``tree_like``."""

@@ -119,10 +119,7 @@ class Loader:
         )
 
     def steps_per_epoch(self) -> int:
-        n = len(self._indices(0))
-        if self.drop_last:
-            return n // self.batch_size
-        return -(-n // self.batch_size)
+        return len(self._batch_chunks(0))
 
     def epoch(self, epoch: int = 0) -> Iterator[Dict]:
         it = self._epoch_iter(epoch)
@@ -137,23 +134,53 @@ class Loader:
         if tr is not None and getattr(tr, "mask_func", None) is not None:
             tr.mask_func.rng.seed((self.seed + 1009 * epoch + self.rank) % (2**32 - 1))
 
+        for chunk in self._batch_chunks(epoch):
+            yield collate([self.dataset[j] for j in chunk])
+
+    def _shape_key(self, i: int):
+        examples = getattr(self.dataset, "examples", None)
+        if examples is None or not hasattr(examples[i], "metadata"):
+            return ()
+        md = examples[i].metadata
+        return (
+            md.get("num_coils", 0),
+            md.get("encoding_size", ()),
+            md.get("num_frames", 0),
+        )
+
+    def _batch_chunks(self, epoch: int) -> List[List[int]]:
+        """Index chunks of size batch_size, each shape-homogeneous.
+
+        Buckets are chunked independently so a batch never straddles two
+        shapes; each bucket's trailing partial batch is padded by repeating
+        its own last sample (unless drop_last)."""
         idx = self._indices(epoch)
         if self.bucket_by_shape and len(idx) > 1:
-            examples = getattr(self.dataset, "examples", None)
-            if examples is not None:
-                def shape_key(i):
-                    md = examples[i].metadata if hasattr(examples[i], "metadata") else {}
-                    return (md.get("num_coils", 0), md.get("encoding_size", ()), md.get("num_frames", 0))
+            buckets: Dict = {}
+            for i in idx:  # preserves shuffled order within each bucket
+                buckets.setdefault(self._shape_key(i), []).append(i)
+            groups = list(buckets.values())
+        else:
+            groups = [list(idx)]
 
-                # stable sort: preserves the shuffled order inside each bucket
-                idx = sorted(idx, key=shape_key)
-        if self.drop_last:
-            idx = idx[: (len(idx) // self.batch_size) * self.batch_size]
-        for i in range(0, len(idx), self.batch_size):
-            chunk = list(idx[i : i + self.batch_size])
-            if not self.drop_last and len(chunk) < self.batch_size and len(idx) >= self.batch_size:
-                # pad the trailing batch by repeating its own last sample so
-                # device sharding stays static and the batch stays
-                # shape-homogeneous under bucketing
-                chunk = chunk + [chunk[-1]] * (self.batch_size - len(chunk))
-            yield collate([self.dataset[j] for j in chunk])
+        chunks: List[List[int]] = []
+        for group in groups:
+            if self.drop_last:
+                group = group[: (len(group) // self.batch_size) * self.batch_size]
+            for i in range(0, len(group), self.batch_size):
+                chunk = list(group[i : i + self.batch_size])
+                if not chunk:
+                    continue
+                if len(chunk) < self.batch_size:
+                    chunk = chunk + [chunk[-1]] * (self.batch_size - len(chunk))
+                chunks.append(chunk)
+        return chunks
+
+    def first_batch(self) -> Dict:
+        """One batch for shape/compile purposes, bypassing the prefetch
+        thread (abandoning a prefetch generator would leak its worker and
+        double-decode the first samples)."""
+        chunks = self._batch_chunks(0)
+        if not chunks:
+            raise ValueError("empty dataset")
+        return collate([self.dataset[j] for j in chunks[0]])

@@ -152,7 +152,7 @@ class Trainer:
 
     def fit(self, resume: bool = False) -> List[Dict[str, float]]:
         assert self.train_loader is not None, "fit() needs a train loader"
-        first_batch = next(iter(self.train_loader.epoch(0)))
+        first_batch = self.train_loader.first_batch()
         start_epoch = 0
         if resume and self.ckpt is not None and self.ckpt.latest_step is not None:
             start_epoch = self.restore_latest(first_batch)

@@ -233,3 +233,21 @@ class TestShapeBucketing:
             # np.stack would raise on heterogeneous shapes; also check coils
             seen.append(batch["masked_kspace"].shape[2])
         assert sorted(seen) == [3, 5]
+
+    def test_mixed_shapes_with_batch_straddling_buckets(self, tmp_path, rng):
+        """Odd bucket sizes must not produce mixed-shape batches: each
+        bucket pads its own trailing batch."""
+        from cinemri_tpu.data.synthetic import write_hdf5_volume
+        from cinemri_tpu.train.loader import Loader
+
+        d = tmp_path / "straddle"
+        d.mkdir()
+        for i, nc in enumerate([3, 3, 3, 5]):  # bucket sizes 3 and 1
+            write_hdf5_volume(d / f"v{i}.h5", num_frames=3, num_coils=nc, h=24, w=24, seed=i)
+        ds = SliceDataset(d, transform=VarNetDataTransform(RandomMask([4], [2])),
+                          maps_cache_dir=tmp_path / "ms")
+        loader = Loader(ds, batch_size=2, shuffle=True, seed=0)
+        shapes = [b["masked_kspace"].shape for b in loader.epoch(0)]
+        assert len(shapes) == loader.steps_per_epoch() == 3
+        coil_counts = sorted(s[2] for s in shapes)
+        assert coil_counts == [3, 3, 5]  # 2 batches of 3-coil, 1 padded 5-coil

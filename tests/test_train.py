@@ -199,3 +199,28 @@ class TestEndToEnd:
         # only the remaining epoch runs, starting from the saved step
         assert len(history) == 1
         assert int(t2.state.step) > step_after
+
+
+class TestCheckpointRetention:
+    def test_latest_kept_even_when_not_best(self, tmp_path):
+        """Best-k retention must never delete the newest checkpoint
+        (resume correctness)."""
+        mgr = CheckpointManager(tmp_path / "r", max_to_keep=3, monitor="val_loss")
+        tree = {"w": jnp.ones(2)}
+        for step, v in enumerate([0.5, 0.1, 0.2, 0.15, 0.9]):
+            mgr.save(step, tree, metrics={"val_loss": v})
+        mgr.wait()
+        assert mgr.latest_step == 4  # epoch 4 survives despite worst val
+        assert mgr.best_step == 1
+        kept = set(mgr._mgr.all_steps())
+        assert 4 in kept and 1 in kept
+        assert len(kept) <= 4  # 3 best + latest
+
+    def test_best_persists_across_manager_restarts(self, tmp_path):
+        mgr = CheckpointManager(tmp_path / "p", max_to_keep=2)
+        tree = {"w": jnp.zeros(1)}
+        mgr.save(0, tree, metrics={"val_loss": 0.3})
+        mgr.save(1, tree, metrics={"val_loss": 0.8})
+        mgr.wait()
+        mgr2 = CheckpointManager(tmp_path / "p", max_to_keep=2)
+        assert mgr2.best_step == 0
