@@ -44,6 +44,7 @@ class TrainerConfig:
     num_log_images: int = 1
     max_checkpoints: int = 3
     debug_nans: bool = False  # raise at the first NaN-producing op
+    checkpoint_on_preemption: bool = True  # SIGTERM -> save before dying
 
 
 class Trainer:
@@ -159,8 +160,31 @@ class Trainer:
         elif self.state is None:
             self.init_state(first_batch)
 
+        # preemption safety (SURVEY §5: the reference has no failure
+        # handling): on SIGTERM — what TPU preemption delivers — save the
+        # current state before exiting so fit(resume=True) continues.
+        prev_handler = None
+        self._epoch_in_flight = start_epoch
+
+        def _on_sigterm(signum, frame):
+            if self.ckpt is not None and self.state is not None:
+                self.ckpt.save(
+                    int(self.state.step) + 10**9,  # distinct from epoch steps
+                    self._ckpt_tree(self._epoch_in_flight - 1),
+                )
+                self.ckpt.wait()
+            raise SystemExit(143)
+
+        if self.cfg.checkpoint_on_preemption and self.ckpt is not None:
+            import signal
+            import threading
+
+            if threading.current_thread() is threading.main_thread():
+                prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+
         t0 = time.perf_counter()
         for epoch in range(start_epoch, self.cfg.epochs):
+            self._epoch_in_flight = epoch
             agg = MetricsAggregator(self.reduce_fn)
             for batch in self.train_loader.epoch(epoch):
                 arrays = shard_batch(batch, self.mesh)
@@ -208,6 +232,10 @@ class Trainer:
                     self._ckpt_tree(epoch),
                     metrics={"val_loss": record.get("val_loss", record.get("train_loss", 0.0))},
                 )
+        if prev_handler is not None:
+            import signal
+
+            signal.signal(signal.SIGTERM, prev_handler)
         if self.ckpt is not None:
             self.ckpt.wait()
         self.train_time_hours = (time.perf_counter() - t0) / 3600.0
