@@ -360,3 +360,36 @@ class TestXPDNetDualBufferParity:
         }
         got = np.asarray(fxp.apply(params, from_complex(masked), jnp.asarray(mask)))
         np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-4)
+
+
+class TestWeightSharingParity:
+    def test_varnet_xf_weight_sharing(self, rng):
+        """weight_sharing=True: one NormUnet serves both rotated planes
+        (varnet.py:135-138)."""
+        t, c, h, w = 4, 3, 24, 20
+        k = _crandn(rng, 1, t, c, h, w)
+        mask = _mask(rng, t, h)
+        masked = k * mask
+        tvn = REF.varnet.VarNet(
+            num_cascades=2, sens_chans=4, sens_pools=2, chans=4, pools=2,
+            dynamic_type="XF", weight_sharing=True,
+        ).eval()
+        with torch.no_grad():
+            want = tvn(tr.to_torch_complex6(masked), tr.mask_to_torch(mask)).numpy()
+
+        fvn = build_model(
+            "varnet", "XF", num_cascades=2, sens_chans=4, sens_pools=2,
+            chans=4, pools=2, weight_sharing=True,
+        )
+        lam = np.asarray(
+            [blk.lambda_reg.detach().numpy()[0] for blk in tvn.cascades], np.float32
+        )
+        params = {
+            "params": {
+                "sens_net": tr.sens_model_params(tvn.sens_net),
+                "cascades": {"plane_net": tr.norm_unet_params(tvn.model)},
+                "lambda_reg": lam,
+            }
+        }
+        got = np.asarray(fvn.apply(params, from_complex(masked), jnp.asarray(mask)))
+        np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-4)
