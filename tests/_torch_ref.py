@@ -52,12 +52,16 @@ def load_reference():
 
 
 def conv_w(m) -> dict:
-    """torch ConvNd -> flax Conv params (OIHW/OIDHW -> HWIO/DHWIO)."""
+    """torch ConvNd -> flax Conv params (OIHW/OIDHW -> HWIO/DHWIO).
+
+    Copies: ``.detach().numpy()`` shares the tensor's buffer, so in-place
+    torch optimizer steps would otherwise mutate the exported params.
+    """
     w = m.weight.detach().numpy()
     axes = tuple(range(2, w.ndim)) + (1, 0)
-    out = {"kernel": np.transpose(w, axes)}
+    out = {"kernel": np.ascontiguousarray(np.transpose(w, axes))}
     if m.bias is not None:
-        out["bias"] = m.bias.detach().numpy()
+        out["bias"] = m.bias.detach().numpy().copy()
     return out
 
 

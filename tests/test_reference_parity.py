@@ -393,3 +393,71 @@ class TestWeightSharingParity:
         }
         got = np.asarray(fvn.apply(params, from_complex(masked), jnp.asarray(mask)))
         np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-4)
+
+
+class TestTrainingParity:
+    """Training-dynamics equivalence: gradients and one Adam step match
+    torch on the same weights — metric parity of a full training run then
+    reduces to data-protocol parity (established elsewhere)."""
+
+    def _setup(self, rng):
+        tun = REF.unet.Unet(chans=4, num_pool_layers=2, in_chans=2, out_chans=2)
+        x = rng.standard_normal((2, 2, 16, 16)).astype(np.float32)
+        fun = Unet(chans=4, num_pool_layers=2)
+        params = {"params": tr.unet_params(tun)}
+        return tun, fun, params, x
+
+    def test_gradients_match(self, rng):
+        tun, fun, params, x = self._setup(rng)
+        xt = torch.from_numpy(x).requires_grad_(False)
+        out = tun(xt)
+        loss_t = 0.5 * (out ** 2).sum()
+        loss_t.backward()
+
+        def loss_f(p):
+            o = fun.apply(p, jnp.asarray(x.transpose(0, 2, 3, 1)))
+            return 0.5 * jnp.sum(o ** 2)
+
+        loss_j, grads = jax.value_and_grad(loss_f)(params)
+        np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-4)
+
+        # spot-check representative tensors through the weight conversion
+        g_first = grads["params"]["ConvBlock_0"]["Conv_0"]["kernel"]
+        tg_first = tun.down_sample_layers[0].layers[0].weight.grad.numpy()
+        np.testing.assert_allclose(
+            np.asarray(g_first), tg_first.transpose(2, 3, 1, 0), rtol=2e-3, atol=2e-4
+        )
+        g_T = grads["params"]["TransposeConvBlock_0"]["ConvTranspose_0"]["kernel"]
+        tg_T = tun.up_transpose_conv[0].layers[0].weight.grad.numpy()
+        tg_T = np.flip(tg_T, axis=(2, 3)).transpose(2, 3, 0, 1)
+        np.testing.assert_allclose(np.asarray(g_T), tg_T, rtol=2e-3, atol=2e-4)
+        g_b = grads["params"]["Conv_0"]["bias"]
+        tg_b = tun.up_conv[-1][1].bias.grad.numpy()
+        np.testing.assert_allclose(np.asarray(g_b), tg_b, rtol=2e-3, atol=2e-4)
+
+    def test_one_adam_step_matches(self, rng):
+        """torch.optim.Adam vs our make_optimizer on identical weights and
+        gradients (same lr/beta/eps semantics, StepLR far away)."""
+        from cinemri_tpu.train import make_optimizer
+
+        tun, fun, params, x = self._setup(rng)
+        opt_t = torch.optim.Adam(tun.parameters(), lr=1e-3)
+        out = tun(torch.from_numpy(x))
+        (0.5 * (out ** 2).sum()).backward()
+        opt_t.step()
+
+        def loss_f(p):
+            o = fun.apply(p, jnp.asarray(x.transpose(0, 2, 3, 1)))
+            return 0.5 * jnp.sum(o ** 2)
+
+        tx = make_optimizer(lr=1e-3, lr_step_size=10**6, steps_per_epoch=1)
+        opt_state = tx.init(params)
+        grads = jax.grad(loss_f)(params)
+        updates, _ = tx.update(grads, opt_state, params)
+        import optax
+
+        new_params = optax.apply_updates(params, updates)
+
+        got = np.asarray(new_params["params"]["ConvBlock_0"]["Conv_0"]["kernel"])
+        want = tun.down_sample_layers[0].layers[0].weight.detach().numpy()
+        np.testing.assert_allclose(got, want.transpose(2, 3, 1, 0), rtol=2e-4, atol=2e-5)
