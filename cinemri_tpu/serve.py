@@ -1,0 +1,100 @@
+"""Ahead-of-time model export for serving.
+
+Serializes a weight-bound reconstruction function to a StableHLO artifact
+(``jax.export``) that a serving process can load and run **without the
+model code or flax** — the deployment story the reference lacks entirely
+(its only artifact is a Lightning .ckpt requiring the full source tree).
+The exported function takes raw ``(kspace_re, kspace_im, mask)`` float32
+arrays, so callers need no knowledge of the Complex pytree either.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Callable, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cinemri_tpu.ops.cplx import Complex
+
+__all__ = ["export_model", "load_exported", "register_complex_serialization"]
+
+_registered = False
+
+
+def register_complex_serialization() -> None:
+    """Register Complex with jax.export's pytree serializer (idempotent)."""
+    global _registered
+    if _registered:
+        return
+    from jax import export
+
+    export.register_pytree_node_serialization(
+        Complex,
+        serialized_name="cinemri_tpu.Complex",
+        serialize_auxdata=lambda aux: b"",
+        deserialize_auxdata=lambda b: None,
+    )
+    _registered = True
+
+
+def export_model(
+    model,
+    params,
+    example_kspace: Complex,
+    example_mask: jnp.ndarray,
+    path: Optional[Union[str, Path]] = None,
+    sens_maps: Optional[Complex] = None,
+) -> bytes:
+    """Export a weight-bound forward to a serialized StableHLO artifact.
+
+    The weights are closed over (baked into the artifact); the exported
+    callable's signature is ``(kspace_re, kspace_im, mask) -> image`` —
+    plus ``(sens_re, sens_im)`` for CineNet-style models.
+    """
+    register_complex_serialization()
+    from jax import export
+
+    if sens_maps is None:
+
+        def fn(kre, kim, mask):
+            return model.apply(params, Complex(kre, kim), mask)
+
+        args = (example_kspace.re, example_kspace.im, example_mask)
+    else:
+
+        def fn(kre, kim, mask, sre, sim):
+            return model.apply(params, Complex(kre, kim), mask, Complex(sre, sim))
+
+        args = (
+            example_kspace.re,
+            example_kspace.im,
+            example_mask,
+            sens_maps.re,
+            sens_maps.im,
+        )
+
+    exported = export.export(jax.jit(fn))(*args)
+    blob = bytes(exported.serialize())
+    if path is not None:
+        Path(path).write_bytes(blob)
+    return blob
+
+
+def load_exported(source: Union[bytes, str, Path]) -> Callable:
+    """Load a serialized artifact; returns f(kspace_re, kspace_im, mask, ...)."""
+    register_complex_serialization()
+    from jax import export
+
+    if isinstance(source, (bytes, bytearray)):
+        blob = bytes(source)
+    else:
+        blob = Path(source).read_bytes()
+    exported = export.deserialize(blob)
+
+    def fn(*args):
+        return exported.call(*[jnp.asarray(a) for a in args])
+
+    return fn

@@ -1,0 +1,51 @@
+"""AOT export / serving-artifact tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cinemri_tpu.models import build_model
+from cinemri_tpu.ops.cplx import from_complex
+from cinemri_tpu.serve import export_model, load_exported
+
+TINY = dict(num_cascades=1, sens_chans=4, sens_pools=2, chans=4, pools=2)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(0)
+    k = (rng.standard_normal((1, 3, 2, 16, 16)) + 1j * rng.standard_normal((1, 3, 2, 16, 16))).astype(np.complex64)
+    m = np.zeros((1, 3, 1, 16, 1), np.float32)
+    m[:, :, :, 6:10] = 1
+    m[:, :, :, 2] = 1
+    model = build_model("varnet", "XF", **TINY)
+    km = from_complex(k)
+    mask = jnp.asarray(m)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), km, mask)
+    return model, params, km, mask
+
+
+class TestExport:
+    def test_roundtrip_matches_live_model(self, setup, tmp_path):
+        model, params, km, mask = setup
+        # compare against the jitted forward (the exported artifact is the
+        # jitted program; unjitted eager apply can differ in fusion order)
+        want = np.asarray(jax.jit(model.apply)(params, km, mask))
+
+        path = tmp_path / "varnet_xf.stablehlo"
+        blob = export_model(model, params, km, mask, path=path)
+        assert path.exists() and len(blob) > 1000
+
+        fn = load_exported(path)
+        got = np.asarray(fn(km.re, km.im, mask))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_artifact_is_self_contained(self, setup, tmp_path):
+        """The loaded artifact runs from raw float arrays only — no model
+        object, params, or Complex construction on the caller's side."""
+        model, params, km, mask = setup
+        blob = export_model(model, params, km, mask)
+        fn = load_exported(blob)
+        out = fn(np.asarray(km.re), np.asarray(km.im), np.asarray(mask))
+        assert np.isfinite(np.asarray(out)).all()
