@@ -67,6 +67,10 @@ class CheckpointManager:
                 self._mgr.delete(s)
 
     def save(self, step: int, tree: Dict[str, Any], metrics: Optional[Dict] = None):
+        if step in self._mgr.all_steps():
+            # overwrite (e.g. re-running an epoch after a preemption save)
+            self._mgr.delete(step)
+            self._metrics.pop(int(step), None)
         self._mgr.save(step, args=ocp.args.StandardSave(tree))
         if metrics and self.monitor in metrics:
             self._metrics[int(step)] = float(metrics[self.monitor])

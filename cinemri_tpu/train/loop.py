@@ -168,8 +168,13 @@ class Trainer:
 
         def _on_sigterm(signum, frame):
             if self.ckpt is not None and self.state is not None:
+                # save under the interrupted epoch's id with epoch-1 recorded,
+                # so fit(resume=True) re-runs the interrupted epoch and its
+                # eventual completion save overwrites this checkpoint (epoch
+                # ids stay the orbax step keys — a larger synthetic id would
+                # shadow all later epoch saves in restore_latest)
                 self.ckpt.save(
-                    int(self.state.step) + 10**9,  # distinct from epoch steps
+                    self._epoch_in_flight,
                     self._ckpt_tree(self._epoch_in_flight - 1),
                 )
                 self.ckpt.wait()

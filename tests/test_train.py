@@ -284,3 +284,13 @@ class TestPreemption:
         assert mgr.latest_step is not None
         # the preemption save (step offset 1e9) exists or a normal epoch save does
         assert len(mgr._mgr.all_steps()) >= 1
+
+    def test_overwrite_existing_step(self, tmp_path):
+        """Re-saving an epoch id (post-preemption re-run) must overwrite."""
+        mgr = CheckpointManager(tmp_path / "ow", max_to_keep=2)
+        mgr.save(3, {"w": jnp.zeros(1)}, metrics={"val_loss": 0.9})
+        mgr.save(3, {"w": jnp.ones(1)}, metrics={"val_loss": 0.1})
+        mgr.wait()
+        restored = mgr.restore({"w": jnp.zeros(1)}, step=3)
+        np.testing.assert_array_equal(np.asarray(restored["w"]), np.ones(1))
+        assert mgr.best_step == 3
