@@ -10,6 +10,7 @@ from cinemri_tpu.models.cinenet import CineNet, CineNetCascade
 from cinemri_tpu.models.xpdnet import XPDNet, XPDNetBlock, XPDNetSensitivityModel
 from cinemri_tpu.models.recurrent import VarNetRNN, CineNetRNN, XPDNetRNN, CRNNTrunk
 from cinemri_tpu.models import denoisers
+from cinemri_tpu.models.init import torch_style_init
 
 __all__ = [
     "VarNet",
@@ -26,6 +27,7 @@ __all__ = [
     "CRNNTrunk",
     "denoisers",
     "build_model",
+    "torch_style_init",
 ]
 
 

@@ -235,3 +235,37 @@ class TestRobustness:
         km, m = from_complex(k * mask), jnp.asarray(mask.astype(np.float32))
         p = model.init(jax.random.PRNGKey(0), km, m)
         assert bool(jnp.isfinite(model.apply(p, km, m)).all())
+
+
+class TestTorchStyleInit:
+    def test_matches_torch_conv_statistics(self, batch):
+        """kernels ~ U(±1/sqrt(fan_in)); λ untouched; deterministic by key."""
+        from cinemri_tpu.models import torch_style_init
+
+        model = _make("varnet", "XF")
+        params, _ = _apply(model, "varnet", batch)
+        re1 = torch_style_init(params, jax.random.PRNGKey(7))
+        re2 = torch_style_init(params, jax.random.PRNGKey(7))
+        for a, b in zip(jax.tree.leaves(re1), jax.tree.leaves(re2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        k = np.asarray(re1["params"]["cascades"]["net_xf"]["Unet_0"]["ConvBlock_0"]["Conv_0"]["kernel"])
+        fan_in = k.shape[0] * k.shape[1] * k.shape[2]
+        bound = 1 / np.sqrt(fan_in)
+        assert np.abs(k).max() <= bound + 1e-7
+        assert np.abs(k).max() > 0.8 * bound  # actually fills the range
+        # uniform variance = bound^2/3
+        np.testing.assert_allclose(k.var(), bound ** 2 / 3, rtol=0.35)
+        # lambda_reg keeps its explicit reference init (softplus -> 1)
+        np.testing.assert_allclose(
+            jax.nn.softplus(re1["params"]["lambda_reg"]), 1.0, rtol=1e-6
+        )
+
+    def test_model_still_runs_after_reinit(self, batch):
+        from cinemri_tpu.models import torch_style_init
+
+        model = _make("varnet", "2D")
+        params, _ = _apply(model, "varnet", batch)
+        re = torch_style_init(params, jax.random.PRNGKey(0))
+        _, out = _apply(model, "varnet", batch, re)
+        assert bool(jnp.isfinite(out).all())
