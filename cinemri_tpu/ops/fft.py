@@ -67,7 +67,9 @@ def set_dft_precision(precision) -> None:
     """Set the matmul precision of the Complex-pair DFT path.
 
     Accepts a ``jax.lax.Precision`` or one of 'highest'/'high'/'default'.
-    Callers must re-jit (new trace) for the change to take effect.
+    Callers must re-jit (new trace) for the change to take effect. Also
+    settable via the ``CINEMRI_DFT_PRECISION`` environment variable (read
+    at import).
     """
     global _DFT_PRECISION
     if isinstance(precision, str):
@@ -77,6 +79,12 @@ def set_dft_precision(precision) -> None:
             "default": jax.lax.Precision.DEFAULT,
         }[precision.lower()]
     _DFT_PRECISION = precision
+
+
+import os as _os  # noqa: E402
+
+if _os.environ.get("CINEMRI_DFT_PRECISION"):
+    set_dft_precision(_os.environ["CINEMRI_DFT_PRECISION"])
 
 
 @lru_cache(maxsize=None)
