@@ -41,3 +41,23 @@ class TestComplexDFTKernel:
             K._ROW_TILE = old_tile
             F.set_dft_backend("xla")
         np.testing.assert_allclose(back, x, rtol=2e-3, atol=2e-3)
+
+
+class TestFusedFFT2Kernel:
+    def test_matches_numpy_fft2(self, rng):
+        import cinemri_tpu.ops.fft as F
+        from cinemri_tpu.ops.kernels.fft2_pallas import fft2_plane_pallas
+        import jax.numpy as jnp
+
+        n = 32
+        x = (rng.standard_normal((3, n, n)) + 1j * rng.standard_normal((3, n, n))).astype(np.complex64)
+        wh = F._dft_matrix(n, False, False, "ortho")
+        yr, yi = fft2_plane_pallas(
+            jnp.asarray(x.real), jnp.asarray(x.imag), wh, wh, interpret=True
+        )
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        want = np.fft.fftshift(
+            np.fft.fft2(np.fft.ifftshift(x, axes=(-2, -1)), norm="ortho"),
+            axes=(-2, -1),
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
