@@ -93,6 +93,11 @@ def build_parser(family: str) -> argparse.ArgumentParser:
     p.add_argument("--batch_size", default=1, type=int)
     p.add_argument("--maps_cache_dir", default=None, type=Path,
                    help="Cache dir for preprocessed volumes + ESPIRiT maps")
+    p.add_argument(
+        "--cache_sens_maps", default=0, choices=(0, 1), type=int,
+        help="CineNet only: compute per-sample ESPIRiT maps once per volume "
+             "instead of per epoch (reference recomputes each epoch)",
+    )
     p.add_argument("--num_workers", default=4, type=int,
                    help="Prefetch depth of the host input pipeline (the "
                         "reference's DataLoader worker count analogue)")
@@ -177,7 +182,10 @@ def train_test_main(family: str, argv=None) -> Dict:
     mask_func = create_mask_for_mask_type(
         args.mask_type, args.center_fractions, args.accelerations
     )
-    transform = TRANSFORMS[family](mask_func=mask_func, use_seed=False)
+    transform_kwargs = {"mask_func": mask_func, "use_seed": False}
+    if family == "cinenet":
+        transform_kwargs["cache_maps"] = bool(args.cache_sens_maps)
+    transform = TRANSFORMS[family](**transform_kwargs)
 
     def make_loader(split, shuffle):
         is_train = split == "train"

@@ -143,22 +143,40 @@ class XPDNetDataTransform(_BaseTransform):
 
 
 class CineNetDataTransform(_BaseTransform):
-    """Adds per-sample ESPIRiT maps from the masked k-space (r=15)."""
+    """Adds per-sample ESPIRiT maps from the masked k-space (r=15).
+
+    ``cache_maps=True`` computes the maps once per filename and reuses them
+    across epochs. The reference recomputes them per sample per epoch
+    (transforms.py:425-432, its dominant data-path cost); with an
+    always-sampled central band the masked calibration region barely changes
+    across epochs, so cached maps are numerically near-identical while
+    removing the per-epoch eigendecompositions from the input pipeline.
+    Default False for exact reference semantics.
+    """
 
     def __init__(
         self,
         mask_func: Optional[MaskFunc] = None,
         use_seed: bool = True,
         calib_size: int = 15,
+        cache_maps: bool = False,
     ):
         super().__init__(mask_func, use_seed)
         self.calib_size = calib_size
+        self.cache_maps = cache_maps
+        self._maps_cache: Dict[str, np.ndarray] = {}
 
     def __call__(self, kspace, mask, target, attrs: Dict, fname: str, slice_num: int):
-        from cinemri_tpu.data.espirit import espirit_maps  # lazy: pulls in jax
+        from cinemri_tpu.data.espirit import espirit_maps  # lazy import
 
         sample = self._common(kspace, mask, target, fname, slice_num)
-        tavg = sample["masked_kspace"].mean(axis=0)  # (c, h, w)
-        maps = np.asarray(espirit_maps(tavg, calib_size=self.calib_size))
+        key = f"{fname}#{slice_num}"
+        if self.cache_maps and key in self._maps_cache:
+            maps = self._maps_cache[key]
+        else:
+            tavg = sample["masked_kspace"].mean(axis=0)  # (c, h, w)
+            maps = np.asarray(espirit_maps(tavg, calib_size=self.calib_size))
+            if self.cache_maps:
+                self._maps_cache[key] = maps
         sample["sens_maps"] = maps[None]  # (1, c, h, w) — broadcast over t
         return sample

@@ -251,3 +251,29 @@ class TestShapeBucketing:
         assert len(shapes) == loader.steps_per_epoch() == 3
         coil_counts = sorted(s[2] for s in shapes)
         assert coil_counts == [3, 3, 5]  # 2 batches of 3-coil, 1 padded 5-coil
+
+
+class TestCineNetMapCaching:
+    def test_cached_maps_reused_across_epochs(self, rng, monkeypatch):
+        from cinemri_tpu.data import CineNetDataTransform, RandomMask
+        import cinemri_tpu.data.espirit as esp
+
+        vol = synthetic_volume(num_frames=3, num_coils=3, h=32, w=32)
+        calls = {"n": 0}
+        real = esp.espirit_maps
+
+        def counting(*a, **k):
+            calls["n"] += 1
+            return real(*a, **k)
+
+        monkeypatch.setattr(esp, "espirit_maps", counting)
+        tr = CineNetDataTransform(RandomMask([6], [2]), use_seed=False, cache_maps=True)
+        for _ in range(3):  # three "epochs"
+            s = tr(vol["kspace"], None, vol["image"], {}, "v.h5", 0)
+        assert calls["n"] == 1
+        assert s["sens_maps"].shape == (1, 3, 32, 32)
+
+        tr2 = CineNetDataTransform(RandomMask([6], [2]), use_seed=False)  # default off
+        for _ in range(2):
+            tr2(vol["kspace"], None, vol["image"], {}, "v.h5", 0)
+        assert calls["n"] == 3  # recomputed per call, reference semantics
