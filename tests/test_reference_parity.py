@@ -461,3 +461,40 @@ class TestTrainingParity:
         got = np.asarray(new_params["params"]["ConvBlock_0"]["Conv_0"]["kernel"])
         want = tun.down_sample_layers[0].layers[0].weight.detach().numpy()
         np.testing.assert_allclose(got, want.transpose(2, 3, 1, 0), rtol=2e-4, atol=2e-5)
+
+
+class TestCineNetVariantParity:
+    @pytest.mark.parametrize("dynamic_type", ["2D", "3D"])
+    def test_cinenet_2d_3d(self, rng, dynamic_type):
+        t, c, h, w = 4, 3, 24, 20
+        k = _crandn(rng, 1, t, c, h, w)
+        mask = _mask(rng, t, h)
+        masked = k * mask
+        sens = _crandn(rng, 1, 1, c, h, w)
+        sens /= np.sqrt((np.abs(sens) ** 2).sum(2, keepdims=True))
+        tcn = REF.cinenet.CineNet(
+            num_cascades=2, CG_iters=2, chans=4, pools=2, dynamic_type=dynamic_type
+        ).eval()
+        with torch.no_grad():
+            want = tcn(
+                tr.to_torch_complex6(masked),
+                tr.mask_to_torch(mask).float(),
+                tr.to_torch_complex6(sens),
+            ).numpy()
+
+        fcn = build_model(
+            "cinenet", dynamic_type, num_cascades=2, cg_iters=2, chans=4, pools=2
+        )
+        lam = np.asarray(
+            [blk.lambda_reg.detach().numpy()[0] for blk in tcn.cascades], np.float32
+        )
+        params = {
+            "params": {
+                "cascades": {"net": tr.unet_params(tcn.model)},
+                "lambda_reg": lam,
+            }
+        }
+        got = np.asarray(
+            fcn.apply(params, from_complex(masked), jnp.asarray(mask), from_complex(sens))
+        )
+        np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-4)
