@@ -18,9 +18,13 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 # measured by bench/measure_reference.py on this container (see BASELINE.md)
 REFERENCE_CPU_FRAMES_PER_SEC = 0.464
