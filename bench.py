@@ -34,6 +34,10 @@ T, C, H, W = 15, 10, 200, 200
 
 def main():
     import jax
+
+    from cinemri_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from cinemri_tpu.data.masks import RandomMask

@@ -18,6 +18,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main(full: bool = False):
     import jax
+
+    from cinemri_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from cinemri_tpu.data.masks import RandomMask

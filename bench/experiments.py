@@ -20,6 +20,10 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from cinemri_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
 TINY = dict(
     varnet=dict(num_cascades=4, sens_chans=6, sens_pools=2, chans=10, pools=3),
     cinenet=dict(num_cascades=4, cg_iters=4, chans=10, pools=3),

@@ -20,6 +20,10 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from cinemri_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
 
 def main(epochs: int = 30):
     from cinemri_tpu.data import RandomMask, SliceDataset, VarNetDataTransform

@@ -102,6 +102,16 @@ def build_parser(family: str) -> argparse.ArgumentParser:
                    help="Prefetch depth of the host input pipeline (the "
                         "reference's DataLoader worker count analogue)")
 
+    # parallelism (the reference's --accelerator dp/ddp + --gpus,
+    # train_test_varnet.py:286-297): shard the batch over a `data` mesh axis
+    p.add_argument(
+        "--num_devices", default=1, type=int,
+        help="Devices on the data-parallel mesh axis; 0 = all visible "
+             "devices; 1 = single device (no mesh). The per-device batch is "
+             "--batch_size, so the global batch is batch_size x num_devices "
+             "(DDP semantics).",
+    )
+
     # model args (varnet_module.py:161-239 etc.)
     for k, v in MODEL_DEFAULTS[family].items():
         if isinstance(v, list):
@@ -116,6 +126,11 @@ def build_parser(family: str) -> argparse.ArgumentParser:
                    type=lambda s: s in ("1", "true", "True"))
 
     # optimizer args (script defaults lr=1e-4, StepLR(140, 0.01))
+    p.add_argument(
+        "--torch_init", default=1, choices=(0, 1), type=int,
+        help="Initialize weights with the reference torch reset_parameters "
+             "statistics (default) instead of flax lecun_normal",
+    )
     p.add_argument("--lr", default=1e-4, type=float)
     p.add_argument("--lr_step_size", default=140, type=int)
     p.add_argument("--lr_gamma", default=0.01, type=float)
@@ -172,12 +187,36 @@ def _build_model_from_args(family: str, args) -> object:
 
 def train_test_main(family: str, argv=None) -> Dict:
     """The reference's train_test_main (train_test_varnet.py:22-136)."""
+    from cinemri_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     args = build_parser(family).parse_args(argv)
 
     data_path = args.data_path or fetch_dir("data_path", args.path_config)
     save_path = fetch_dir("save_path", args.path_config)
     log_root = fetch_dir("log_path", args.path_config) / family / f"{family}_logs"
     ckpt_dir = log_root / "checkpoints"
+
+    # data-parallel mesh (the reference's dp/ddp backend switch,
+    # train_test_varnet.py:286-297): batches shard over a `data` axis and
+    # jit's SPMD partitioner emits the gradient all-reduce over ICI
+    import jax
+
+    from cinemri_tpu.parallel import make_mesh, make_process_sum, process_info
+
+    n_devices = args.num_devices if args.num_devices > 0 else len(jax.devices())
+    if n_devices > len(jax.devices()):
+        raise ValueError(
+            f"--num_devices {n_devices} but only {len(jax.devices())} "
+            f"devices visible (platform {jax.devices()[0].platform})"
+        )
+    mesh = (
+        make_mesh({"data": n_devices}, devices=jax.devices()[:n_devices])
+        if n_devices > 1
+        else None
+    )
+    rank, world = process_info()
+    global_batch = args.batch_size * n_devices
 
     mask_func = create_mask_for_mask_type(
         args.mask_type, args.center_fractions, args.accelerations
@@ -223,10 +262,16 @@ def train_test_main(family: str, argv=None) -> Dict:
             )
         return Loader(
             ds,
-            batch_size=args.batch_size,
+            batch_size=global_batch,
             shuffle=shuffle,
             seed=args.seed,
             prefetch_size=max(int(args.num_workers), 0),
+            # multi-host: each process feeds its own shard of the example
+            # list; eval shards volume-aware so whole volumes stay on one
+            # process (the reference's VolumeSampler, data_module.py:189-194)
+            num_replicas=world,
+            rank=rank,
+            volume_aware=not is_train,
         )
 
     model = _build_model_from_args(family, args)
@@ -242,6 +287,7 @@ def train_test_main(family: str, argv=None) -> Dict:
         save_path=save_path,
         num_log_images=args.num_log_images,
         compute_train_metrics=args.compute_train_metrics,
+        torch_init=bool(args.torch_init),
     )
     trainer = Trainer(
         model,
@@ -249,6 +295,8 @@ def train_test_main(family: str, argv=None) -> Dict:
         train_loader=make_loader("train", shuffle=True),
         val_loader=make_loader("valid", shuffle=False),
         test_loader=make_loader(args.test_split, shuffle=False),
+        mesh=mesh,
+        reduce_fn=make_process_sum(),
     )
 
     results: Dict = {}

@@ -11,8 +11,10 @@ quirks replicated exactly (they define the training objective):
 
 TPU-first differences from the reference implementation: the per-frame
 Python loop (losses.py:31-56, one conv2d call per frame) is folded into a
-single batched ``lax.reduce_window`` over all frames at once (the t loop is
-pure batching), and the hardcoded ``.to('cuda')`` is gone.
+single batched uniform-window convolution over all frames at once (the t
+loop is pure batching), and the hardcoded ``.to('cuda')`` is gone. At
+batch>1 the loss is per-sample (per-sample data_range, weighted mean over
+samples) — see :func:`ssim_loss`.
 """
 
 from __future__ import annotations
@@ -20,7 +22,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["ssim_loss", "ssim_index_per_frame"]
+__all__ = ["ssim_loss", "ssim_index_per_frame", "ssim_index_per_sample"]
 
 
 def _window_mean(x: jnp.ndarray, win: int) -> jnp.ndarray:
@@ -41,21 +43,23 @@ def _window_mean(x: jnp.ndarray, win: int) -> jnp.ndarray:
     return s[:, 0]
 
 
-def ssim_index_per_frame(
+def ssim_index_per_sample(
     pred: jnp.ndarray,
     target: jnp.ndarray,
     win_size: int = 7,
     k1: float = 0.01,
     k2: float = 0.03,
 ) -> jnp.ndarray:
-    """Mean SSIM per frame, shape (t,).
+    """Mean SSIM per (sample, frame), shape (b, t).
 
     Args:
         pred/target: ``(b, t, h, w)`` real images.
 
-    The per-frame data range is ``max(target[:, t])`` over the whole batch,
-    matching reference losses.py:34 (with the reference's batch size of 1
-    this is the per-sample frame max).
+    The per-frame data range is the per-sample frame max of the target
+    (losses.py:34 computes the frame max over the whole batch, but the
+    reference batch size is 1, where the two definitions coincide;
+    per-sample keeps the loss independent of device batching — see the
+    batch>1 note on :func:`ssim_loss`).
     """
     if pred.shape != target.shape or pred.ndim != 4:
         raise ValueError(f"expected matching (b,t,h,w), got {pred.shape} vs {target.shape}")
@@ -75,10 +79,6 @@ def ssim_index_per_frame(
     vy = cov_norm * (uyy - uy * uy)
     vxy = cov_norm * (uxy - ux * uy)
 
-    # per-sample, per-frame data range from the target (losses.py:34 computes
-    # the frame max over the whole batch, but the reference batch size is 1,
-    # where the two definitions coincide; per-sample keeps the semantics
-    # independent of device batching)
     data_range = jnp.max(target, axis=(2, 3))  # (b, t)
     c1 = ((k1 * data_range) ** 2).reshape(b * t, 1, 1)
     c2 = ((k2 * data_range) ** 2).reshape(b * t, 1, 1)
@@ -89,7 +89,18 @@ def ssim_index_per_frame(
     b1 = ux * ux + uy * uy + c1
     b2 = vx + vy + c2
     s = (a1 * a2) / (b1 * b2)
-    return jnp.mean(s.reshape(b, t, *hw), axis=(0, 2, 3))  # (t,)
+    return jnp.mean(s.reshape(b, t, *hw), axis=(2, 3))  # (b, t)
+
+
+def ssim_index_per_frame(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    win_size: int = 7,
+    k1: float = 0.01,
+    k2: float = 0.03,
+) -> jnp.ndarray:
+    """Mean SSIM per frame (averaged over the batch), shape (t,)."""
+    return jnp.mean(ssim_index_per_sample(pred, target, win_size, k1, k2), axis=0)
 
 
 def ssim_loss(
@@ -98,6 +109,22 @@ def ssim_loss(
     win_size: int = 7,
     k1: float = 0.01,
     k2: float = 0.03,
+    sample_weight: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Time-averaged SSIM loss: mean over t of (1 - mean SSIM of frame t)."""
-    return jnp.mean(1.0 - ssim_index_per_frame(pred, target, win_size, k1, k2))
+    """Time-averaged SSIM loss: mean over t of (1 - mean SSIM of frame t).
+
+    ``sample_weight`` (shape ``(b,)``) weights each sample's contribution —
+    padded samples in a trailing short batch carry weight 0, so the loss
+    over a padded batch equals the loss over its real samples (the
+    reference's DataLoader instead emits a smaller final batch; at the
+    reference's batch size of 1 nothing is ever padded and the two match
+    trivially). Batch>1 semantics are per-sample throughout: per-sample
+    data_range (see :func:`ssim_index_per_sample`) and a weighted mean over
+    samples, so a sample's loss never depends on what it is batched with.
+    """
+    s = ssim_index_per_sample(pred, target, win_size, k1, k2)  # (b, t)
+    per_sample = jnp.mean(1.0 - s, axis=1)  # (b,)
+    if sample_weight is None:
+        return jnp.mean(per_sample)
+    w = sample_weight.astype(per_sample.dtype)
+    return jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)

@@ -29,7 +29,7 @@ __all__ = [
     "ARRAY_KEYS",
 ]
 
-ARRAY_KEYS = ("masked_kspace", "mask", "target", "sens_maps")
+ARRAY_KEYS = ("masked_kspace", "mask", "target", "sens_maps", "sample_weight")
 
 
 def make_mesh(

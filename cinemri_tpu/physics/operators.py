@@ -28,6 +28,8 @@ __all__ = [
     "apply_mask",
     "soft_dc",
     "normal_plus_lambda",
+    "masked_normal_kernel",
+    "normal_plus_lambda_kernel",
 ]
 
 COIL_AXIS = 2
@@ -71,3 +73,73 @@ def normal_plus_lambda(x, mask: jnp.ndarray, sens_maps, lam) -> Complex:
     k = sens_expand(x, sens_maps)
     k = apply_mask(k, mask)
     return sens_reduce(k, sens_maps, keepdims=True) + lam * x
+
+
+def masked_normal_kernel(mask: jnp.ndarray, norm: str = "ortho") -> Complex:
+    """Precompute ``T = F_hᴴ · diag(m) · F_h`` for the CG normal operator.
+
+    Cartesian line masks vary only along the phase-encode axis ``h``
+    (shape ``(b, t|1, 1, h, 1)``), so in ``Aᴴ M A = Σ_c S̄_c F⁻¹ M F S_c``
+    the w-axis transform commutes with ``M`` and cancels, and the remaining
+    1-D sandwich collapses into one precomputed ``h x h`` complex matrix per
+    (batch, frame). Each CG iteration then costs ONE batched MXU matmul
+    along ``h`` instead of the four DFT passes of
+    ``fft2c -> mask -> ifft2c`` — the reference pays the full 2-D pair per
+    iteration (cinenet.py:121-133).
+
+    Returns a :class:`Complex` of shape ``(b, t|1, h, h)``; build it once
+    per forward (outside the cascade scan) and feed
+    :func:`normal_plus_lambda_kernel`.
+    """
+    from cinemri_tpu.ops import fft as F
+
+    if mask.ndim != 5 or mask.shape[2] != 1 or mask.shape[-1] != 1:
+        raise ValueError(
+            f"expected a line mask (b, t|1, 1, h, 1), got {mask.shape}"
+        )
+    h = mask.shape[3]
+    wfr, wfi = F._dft_matrix(h, inverse=False, alt=False, norm=norm)
+    wir, wii = F._dft_matrix(h, inverse=True, alt=False, norm=norm)
+    wfr, wfi, wir, wii = map(jnp.asarray, (wfr, wfi, wir, wii))
+    m = mask[:, :, 0, :, 0]  # (b, t|1, h)
+    prec = F._DFT_PRECISION
+    # A = diag(m) @ W_f (row scaling), then T = W_i @ A (Gauss 3-mul)
+    ar = m[..., :, None] * wfr
+    ai = m[..., :, None] * wfi
+
+    def mm(w, v):
+        return jnp.einsum("ik,btkj->btij", w, v, precision=prec)
+
+    t1 = mm(wir, ar)
+    t2 = mm(wii, ai)
+    t3 = mm(wir + wii, ar + ai)
+    return Complex(t1 - t2, t3 - t1 - t2)
+
+
+def normal_plus_lambda_kernel(x, kernel: Complex, sens_maps, lam) -> Complex:
+    """``H(x) = Aᴴ M A x + λ x`` using a precomputed h-axis kernel.
+
+    Mathematically identical to :func:`normal_plus_lambda` (to matmul
+    rounding) at a quarter of its DFT cost — see
+    :func:`masked_normal_kernel`.
+    """
+    from cinemri_tpu.ops import fft as F
+
+    x = _c(x)
+    sens = _c(sens_maps)
+    y = x * sens  # (b, t, c, h, w)
+    b, t = y.shape[:2]
+    h = y.shape[3]
+    prec = F._DFT_PRECISION
+
+    kr = jnp.broadcast_to(kernel.re, (b, t, h, h))
+    ki = jnp.broadcast_to(kernel.im, (b, t, h, h))
+
+    def mm(w, v):
+        return jnp.einsum("btik,btckw->btciw", w, v, precision=prec)
+
+    t1 = mm(kr, y.re)
+    t2 = mm(ki, y.im)
+    t3 = mm(kr + ki, y.re + y.im)
+    z = Complex(t1 - t2, t3 - t1 - t2)
+    return csum(z * sens.conj(), axis=COIL_AXIS, keepdims=True) + lam * x

@@ -54,8 +54,14 @@ def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
 _STACK_KEYS = ("masked_kspace", "mask", "target", "sens_maps")
 
 
-def collate(samples: List[Dict]) -> Dict:
-    """Stack sample dicts into one batch dict."""
+def collate(samples: List[Dict], n_valid: int | None = None) -> Dict:
+    """Stack sample dicts into one batch dict.
+
+    ``n_valid``: number of leading samples that are real data; trailing
+    entries are padding (repeats of the last real sample) and get
+    ``sample_weight`` 0 so they contribute nothing to the training loss
+    (the reference's DataLoader emits a smaller final batch instead).
+    """
     batch: Dict = {}
     for k in _STACK_KEYS:
         if k in samples[0]:
@@ -63,6 +69,8 @@ def collate(samples: List[Dict]) -> Dict:
     batch["fname"] = [s["fname"] for s in samples]
     batch["slice_num"] = np.asarray([s["slice_num"] for s in samples])
     batch["max_value"] = np.asarray([s["max_value"] for s in samples], np.float32)
+    n_valid = len(samples) if n_valid is None else n_valid
+    batch["sample_weight"] = (np.arange(len(samples)) < n_valid).astype(np.float32)
     return batch
 
 
@@ -134,8 +142,8 @@ class Loader:
         if tr is not None and getattr(tr, "mask_func", None) is not None:
             tr.mask_func.rng.seed((self.seed + 1009 * epoch + self.rank) % (2**32 - 1))
 
-        for chunk in self._batch_chunks(epoch):
-            yield collate([self.dataset[j] for j in chunk])
+        for chunk, n_valid in self._batch_chunks(epoch):
+            yield collate([self.dataset[j] for j in chunk], n_valid)
 
     def _shape_key(self, i: int):
         examples = getattr(self.dataset, "examples", None)
@@ -148,12 +156,13 @@ class Loader:
             md.get("num_frames", 0),
         )
 
-    def _batch_chunks(self, epoch: int) -> List[List[int]]:
-        """Index chunks of size batch_size, each shape-homogeneous.
+    def _batch_chunks(self, epoch: int) -> List:
+        """(index chunk, n_valid) pairs of size batch_size, shape-homogeneous.
 
         Buckets are chunked independently so a batch never straddles two
         shapes; each bucket's trailing partial batch is padded by repeating
-        its own last sample (unless drop_last)."""
+        its own last sample (unless drop_last). ``n_valid`` counts the real
+        samples so collate can zero the padding's loss weight."""
         idx = self._indices(epoch)
         if self.bucket_by_shape and len(idx) > 1:
             buckets: Dict = {}
@@ -163,7 +172,7 @@ class Loader:
         else:
             groups = [list(idx)]
 
-        chunks: List[List[int]] = []
+        chunks: List = []
         for group in groups:
             if self.drop_last:
                 group = group[: (len(group) // self.batch_size) * self.batch_size]
@@ -171,9 +180,10 @@ class Loader:
                 chunk = list(group[i : i + self.batch_size])
                 if not chunk:
                     continue
-                if len(chunk) < self.batch_size:
-                    chunk = chunk + [chunk[-1]] * (self.batch_size - len(chunk))
-                chunks.append(chunk)
+                n_valid = len(chunk)
+                if n_valid < self.batch_size:
+                    chunk = chunk + [chunk[-1]] * (self.batch_size - n_valid)
+                chunks.append((chunk, n_valid))
         return chunks
 
     def first_batch(self) -> Dict:
@@ -183,4 +193,5 @@ class Loader:
         chunks = self._batch_chunks(0)
         if not chunks:
             raise ValueError("empty dataset")
-        return collate([self.dataset[j] for j in chunks[0]])
+        chunk, n_valid = chunks[0]
+        return collate([self.dataset[j] for j in chunk], n_valid)

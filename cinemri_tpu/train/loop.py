@@ -45,6 +45,7 @@ class TrainerConfig:
     max_checkpoints: int = 3
     debug_nans: bool = False  # raise at the first NaN-producing op
     checkpoint_on_preemption: bool = True  # SIGTERM -> save before dying
+    torch_init: bool = True  # reference torch reset_parameters weight stats
 
 
 class Trainer:
@@ -95,7 +96,11 @@ class Trainer:
         )
         arrays = shard_batch(example_batch, self.mesh)
         self.state = create_train_state(
-            self.model, arrays, tx, rng=jax.random.PRNGKey(self.cfg.seed)
+            self.model,
+            arrays,
+            tx,
+            rng=jax.random.PRNGKey(self.cfg.seed),
+            torch_init=self.cfg.torch_init,
         )
         return self.state
 

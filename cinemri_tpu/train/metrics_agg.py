@@ -72,11 +72,16 @@ class MetricsAggregator:
                 csv.writer(f).writerow([ssim])
 
     def update_batch(self, batch, outputs, targets, loss=None):
-        """Record every sample of a batched step result."""
+        """Record every real sample of a batched step result (padding
+        entries — ``sample_weight`` 0 — are skipped so they neither
+        duplicate SSIMs.csv rows nor re-enter the per-volume dicts)."""
         fnames = batch["fname"]
         slices = batch["slice_num"]
         maxvals = batch["max_value"]
+        weights = batch.get("sample_weight")
         for i, fname in enumerate(fnames):
+            if weights is not None and float(weights[i]) == 0.0:
+                continue
             self.update(
                 fname,
                 int(slices[i]),

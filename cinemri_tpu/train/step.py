@@ -44,21 +44,44 @@ def model_apply_fn(model) -> Callable:
     return apply
 
 
-def create_train_state(model, example_batch, tx: optax.GradientTransformation, rng=None):
+def create_train_state(
+    model,
+    example_batch,
+    tx: optax.GradientTransformation,
+    rng=None,
+    torch_init: bool = True,
+):
+    """Initialize params + optimizer state.
+
+    ``torch_init`` (default on) re-draws conv/dense kernels and biases with
+    the reference's torch ``reset_parameters`` statistics
+    (kaiming_uniform(a=sqrt(5)) == uniform(±1/sqrt(fan_in))) so
+    training-from-scratch matches the reference's initial weight
+    distribution instead of flax's lecun_normal (design.md §8 deviation #1).
+    """
     rng = jax.random.PRNGKey(42) if rng is None else rng
     args = (example_batch["masked_kspace"], example_batch["mask"])
     if "sens_maps" in example_batch:
         args = args + (example_batch["sens_maps"],)
     # jit the initializer: on remote-dispatch TPU backends an eager init
     # would round-trip per op
-    params = jax.jit(model.init)(rng, *args)
+    init_rng, reinit_rng = jax.random.split(rng)
+    params = jax.jit(model.init)(init_rng, *args)
+    if torch_init:
+        from cinemri_tpu.models.init import torch_style_init
+
+        params = jax.jit(torch_style_init)(params, reinit_rng)
     return TrainState.create(apply_fn=model_apply_fn(model), params=params, tx=tx)
 
 
 def _loss_and_output(apply, params, batch) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     output = apply(params, batch)
     target, output_c = center_crop_to_smallest(batch["target"], output)
-    return ssim_loss(output_c, target), output_c, target
+    # padded trailing batches carry sample_weight 0 on the padding so the
+    # repeated sample is not double-counted in the gradient (the reference's
+    # DataLoader emits a smaller final batch instead)
+    loss = ssim_loss(output_c, target, sample_weight=batch.get("sample_weight"))
+    return loss, output_c, target
 
 
 def make_train_step(donate: bool = True) -> Callable:

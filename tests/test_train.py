@@ -294,3 +294,88 @@ class TestPreemption:
         restored = mgr.restore({"w": jnp.zeros(1)}, step=3)
         np.testing.assert_array_equal(np.asarray(restored["w"]), np.ones(1))
         assert mgr.best_step == 3
+
+
+class TestPaddedBatches:
+    """VERDICT r1 #7: padded trailing batches must not double-weight the
+    repeated sample in the loss, and eval aggregation must skip padding."""
+
+    def test_padded_batch_loss_equals_unpadded(self, data_root, tmp_path):
+        # 2 train volumes, batch_size 3 -> one batch padded with a repeat
+        loader3 = _loader(data_root, "train", tmp_path, batch_size=3)
+        batch = loader3.first_batch()
+        assert list(batch["sample_weight"]) == [1.0, 1.0, 0.0]
+
+        loader1 = _loader(data_root, "train", tmp_path, batch_size=2)
+        batch2 = loader1.first_batch()
+        assert list(batch2["sample_weight"]) == [1.0, 1.0]
+
+        model = build_model("varnet", "XF", **TINY)
+        state = create_train_state(
+            model, _device_batch(batch2), make_optimizer(steps_per_epoch=1)
+        )
+        eval_step = make_eval_step()
+        loss_padded = float(eval_step(state, _device_batch(batch))["loss"])
+        loss_real = float(eval_step(state, _device_batch(batch2))["loss"])
+        assert np.isclose(loss_padded, loss_real, rtol=1e-5), (
+            loss_padded,
+            loss_real,
+        )
+
+    def test_aggregator_skips_padding(self, rng):
+        agg = MetricsAggregator()
+        t, h, w = 3, 24, 24
+        out = rng.random((2, t, h, w), dtype=np.float32)
+        tgt = rng.random((2, t, h, w), dtype=np.float32)
+        batch = {
+            "fname": ["a.h5", "a.h5"],
+            "slice_num": np.array([0, 0]),
+            "max_value": np.array([1.0, 1.0], np.float32),
+            "sample_weight": np.array([1.0, 0.0], np.float32),
+        }
+        agg.update_batch(batch, out, tgt)
+        assert len(agg.ssim_vals["a.h5"]) == 1
+
+
+class TestTorchInit:
+    def test_create_train_state_applies_torch_init_by_default(
+        self, data_root, tmp_path
+    ):
+        """Kernels must carry kaiming-uniform statistics (bounded support,
+        ~uniform spread), not flax lecun_normal (VERDICT r1 missing #3)."""
+        loader = _loader(data_root, "train", tmp_path)
+        batch = loader.first_batch()
+        model = build_model("varnet", "XF", **TINY)
+        tx = make_optimizer(steps_per_epoch=1)
+        s_torch = create_train_state(model, _device_batch(batch), tx)
+        s_flax = create_train_state(model, _device_batch(batch), tx, torch_init=False)
+
+        leaves = [
+            (path, leaf)
+            for path, leaf in jax.tree_util.tree_flatten_with_path(s_torch.params)[0]
+            if getattr(path[-1], "key", None) == "kernel" and leaf.ndim >= 2
+        ]
+        assert leaves
+        for path, leaf in leaves:
+            fan_in = int(np.prod(leaf.shape[:-1]))
+            bound = 1.0 / np.sqrt(fan_in)
+            a = np.asarray(leaf)
+            assert np.all(np.abs(a) <= bound + 1e-6), path
+            # uniform, not truncated normal: spread close to bound/sqrt(3)
+            if a.size > 200:
+                assert np.std(a) > 0.8 * bound / np.sqrt(3), path
+
+        # flax default produces values beyond the torch bound somewhere
+        any_beyond = False
+        for path, leaf in jax.tree_util.tree_flatten_with_path(s_flax.params)[0]:
+            if getattr(path[-1], "key", None) == "kernel" and leaf.ndim >= 2:
+                fan_in = int(np.prod(leaf.shape[:-1]))
+                if np.any(np.abs(np.asarray(leaf)) > 1.0 / np.sqrt(fan_in)):
+                    any_beyond = True
+        assert any_beyond
+
+
+def _device_batch(batch):
+    from cinemri_tpu.parallel.mesh import shard_batch
+
+    return shard_batch(batch, None)
