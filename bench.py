@@ -56,6 +56,19 @@ def main():
         "varnet", "XF", num_cascades=10, sens_chans=8, sens_pools=3, chans=16, pools=3
     )
     params = jax.jit(model.init)(jax.random.PRNGKey(0), masked_kspace, mask)
+
+    # chip-normalized utilization: FLOPs from the compiled program's own
+    # cost model over the measured wall time, against the chip's bf16 peak
+    def peak_flops_per_sec() -> float:
+        kind = jax.devices()[0].device_kind.lower()
+        table = {  # dense bf16 peak per chip (vendor specs)
+            "v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12,
+            "v4": 275e12, "v6": 918e12, "trillium": 918e12,
+        }
+        for key, val in table.items():
+            if key in kind:
+                return val
+        return float("nan")  # unknown host (e.g. CPU run): mfu reported null
     # reduce to a scalar on device: synchronizing on the scalar forces the
     # queued executions to complete without paying a full-volume D2H per run
     # (block_until_ready does not reliably wait on all TPU backends, and the
@@ -75,6 +88,16 @@ def main():
     per_volume = (time.perf_counter() - t0) / n
     fps = T / per_volume
 
+    mfu = None
+    try:
+        cost = fwd_sum.lower(params, masked_kspace, mask).compile().cost_analysis()
+        flops = float(cost.get("flops", 0.0))
+        peak = peak_flops_per_sec()
+        if flops > 0 and peak == peak:  # peak is not NaN
+            mfu = round(flops / per_volume / peak, 4)
+    except Exception:
+        pass  # cost model unavailable on this backend; keep fps-only output
+
     print(
         json.dumps(
             {
@@ -82,6 +105,7 @@ def main():
                 "value": round(fps, 3),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / REFERENCE_CPU_FRAMES_PER_SEC, 2),
+                "mfu": mfu,
             }
         )
     )

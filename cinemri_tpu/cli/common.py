@@ -195,7 +195,16 @@ def train_test_main(family: str, argv=None) -> Dict:
     data_path = args.data_path or fetch_dir("data_path", args.path_config)
     save_path = fetch_dir("save_path", args.path_config)
     log_root = fetch_dir("log_path", args.path_config) / family / f"{family}_logs"
-    ckpt_dir = log_root / "checkpoints"
+    # scope checkpoints per (dynamic_type, acceleration), mirroring the
+    # reference's stamped filename (train_test_varnet.py:270-277) — and
+    # fixing its latent trap: an Orbax step dir shared across configs would
+    # silently skip saves at lower step numbers and then crash the restore
+    # with a mismatched parameter tree
+    ckpt_dir = (
+        log_root
+        / "checkpoints"
+        / f"{family}_{args.dynamic_type}_acc{args.accelerations[0]}"
+    )
 
     # data-parallel mesh (the reference's dp/ddp backend switch,
     # train_test_varnet.py:286-297): batches shard over a `data` axis and

@@ -30,7 +30,13 @@ from cinemri_tpu.models.varnet import lambda_init
 from cinemri_tpu.ops.cplx import cmean, from_channels, to_channels
 from cinemri_tpu.ops.fft import fft1c, ifft1c
 from cinemri_tpu.physics.cg import conj_grad
-from cinemri_tpu.physics.operators import normal_plus_lambda, sens_reduce
+from cinemri_tpu.physics.operators import (
+    is_line_mask,
+    masked_normal_kernel,
+    normal_plus_lambda,
+    normal_plus_lambda_kernel,
+    sens_reduce,
+)
 
 __all__ = ["CineNet", "CineNetCascade"]
 
@@ -78,7 +84,7 @@ class CineNetCascade(nn.Module):
         return out + mean
 
     @nn.compact
-    def __call__(self, image_pred, lam, image_ref, mask, sens_maps):
+    def __call__(self, image_pred, lam, image_ref, mask, sens_maps, dc_kernel):
         x = image_pred[:, :, 0]  # (b, t, h, w) complex
         b, t, h, w = x.shape
 
@@ -95,7 +101,10 @@ class CineNetCascade(nn.Module):
         model_out = model_out[:, :, None]  # (b, t, 1, h, w)
         v = jax.nn.softplus(lam)
         rhs = image_ref + v * model_out  # cinenet.py:255-257
-        op = lambda z: normal_plus_lambda(z, mask, sens_maps, v)
+        if dc_kernel is None:
+            op = lambda z: normal_plus_lambda(z, mask, sens_maps, v)
+        else:
+            op = lambda z: normal_plus_lambda_kernel(z, dc_kernel, sens_maps, v)
         x_new = conj_grad(op, rhs, model_out, iters=self.cg_iters)
         return x_new, None
 
@@ -110,6 +119,12 @@ class CineNet(nn.Module):
     dynamic_type: str = "XF"
     weight_sharing: bool = False
     remat: bool = True
+    # Run the CG normal operator through the precomputed h-axis kernel
+    # (physics.operators.masked_normal_kernel): one MXU matmul per CG apply
+    # instead of the reference's full 2-D FFT pair per iteration
+    # (cinenet.py:121-133). Numerically identical to matmul rounding;
+    # auto-falls back to the direct operator for non-line masks.
+    kernel_dc: bool = True
 
     @nn.compact
     def __call__(
@@ -121,13 +136,18 @@ class CineNet(nn.Module):
             )
         image_ref = sens_reduce(masked_kspace, sens_maps)  # (b, t, 1, h, w)
         lam = self.param("lambda_reg", lambda_init, (self.num_cascades,))
+        dc_kernel = (
+            masked_normal_kernel(mask)
+            if self.kernel_dc and is_line_mask(mask)
+            else None
+        )
 
         block = nn.remat(CineNetCascade) if self.remat else CineNetCascade
         scan = nn.scan(
             block,
             variable_broadcast="params",  # shared denoiser (cinenet.py:46-57)
             split_rngs={"params": False},
-            in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast),
+            in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
             length=self.num_cascades,
         )
         image_pred, _ = scan(
@@ -137,6 +157,6 @@ class CineNet(nn.Module):
             dynamic_type=self.dynamic_type,
             weight_sharing=self.weight_sharing,
             name="cascades",
-        )(image_ref, lam, image_ref, mask, sens_maps)
+        )(image_ref, lam, image_ref, mask, sens_maps, dc_kernel)
 
         return image_pred[:, :, 0].abs()

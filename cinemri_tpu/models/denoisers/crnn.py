@@ -8,7 +8,15 @@ TPU-first: the reference iterates Python loops over the t frames with
 hardcoded ``.cuda()`` hidden-state allocations (recurrent_varnet.py:236);
 here both temporal directions are ``nn.scan`` (lax.scan) sweeps sharing one
 cell's parameters, so the whole bidirectional recurrence is a single
-compiled loop with O(1) program size in t.
+compiled loop with O(1) program size in t. The cell's three convs
+(input->hidden, time-hidden->hidden, iteration-hidden->hidden,
+recurrent_varnet.py:172-198) are algebraically one conv over the
+channel-concatenated inputs — ``conv(x,Wx) + conv(h,Wh) + conv(g,Wg) =
+conv([x,h,g], [Wx;Wh;Wg])`` — and at these channel counts (2+18+18 vs the
+MXU's 128-lane contraction) the fused form costs one padded MXU pass
+instead of three, so that is how the parameters are laid out here
+(:func:`fused_sum_conv`; the torch weights port by in-axis concatenation
+and bias summation).
 """
 
 from __future__ import annotations
@@ -16,12 +24,25 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-__all__ = ["CRNNCell", "BCRNN"]
+__all__ = ["CRNNCell", "BCRNN", "fused_sum_conv"]
+
+
+def fused_sum_conv(chans: int, kernel_size: int, name: str, *inputs):
+    """``sum_i conv_i(inputs[i])`` as ONE conv over concatenated channels.
+
+    Exact up to f32 summation order; one MXU pass instead of len(inputs)
+    mostly-padding passes when each input's contraction dim (3*3*ch) sits
+    far below the MXU's 128 lanes.
+    """
+    k = (kernel_size, kernel_size)
+    cat = inputs[0] if len(inputs) == 1 else jnp.concatenate(inputs, axis=-1)
+    return nn.Conv(chans, k, padding="SAME", name=name)(cat)
 
 
 class CRNNCell(nn.Module):
     """One CRNN step: relu(conv(x) + conv(h_time) + conv(h_iteration))
-    (recurrent_varnet.py:153-200). Channels-last (b, h, w, ch)."""
+    (recurrent_varnet.py:153-200), computed as one fused conv (module
+    docstring). Channels-last (b, h, w, ch)."""
 
     hidden_size: int
     kernel_size: int = 3
@@ -29,13 +50,12 @@ class CRNNCell(nn.Module):
     @nn.compact
     def __call__(self, hidden, inputs):
         x, hidden_iteration = inputs
-        k = (self.kernel_size, self.kernel_size)
-        in_to_hid = nn.Conv(self.hidden_size, k, padding="SAME", name="i2h")(x)
-        hid_to_hid = nn.Conv(self.hidden_size, k, padding="SAME", name="h2h")(hidden)
-        ih_to_ih = nn.Conv(self.hidden_size, k, padding="SAME", name="ih2ih")(
-            hidden_iteration
+        new_hidden = nn.relu(
+            fused_sum_conv(
+                self.hidden_size, self.kernel_size, "i2h_h2h_ih2ih",
+                x, hidden, hidden_iteration,
+            )
         )
-        new_hidden = nn.relu(in_to_hid + hid_to_hid + ih_to_ih)
         return new_hidden, new_hidden
 
 

@@ -27,7 +27,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from cinemri_tpu.models.denoisers.crnn import BCRNN
+from cinemri_tpu.models.denoisers.crnn import BCRNN, fused_sum_conv
 from cinemri_tpu.models.denoisers.kspace_cnn import KSpaceCNN
 from cinemri_tpu.models.varnet import SensitivityModel, lambda_init
 from cinemri_tpu.models.xpdnet import XPDNetSensitivityModel, _merge_ri, _split_ri
@@ -35,7 +35,10 @@ from cinemri_tpu.ops.cplx import Complex, concat as cconcat, crepeat, from_chann
 from cinemri_tpu.physics.cg import conj_grad
 from cinemri_tpu.physics.operators import (
     apply_mask,
+    is_line_mask,
+    masked_normal_kernel,
     normal_plus_lambda,
+    normal_plus_lambda_kernel,
     sens_expand,
     sens_reduce,
     soft_dc,
@@ -65,18 +68,12 @@ class CRNNTrunk(nn.Module):
         x0 = BCRNN(self.chans, name="bcrnn")(x_in, h0)
         x0f = x0.reshape(t * b, h, w, self.chans)
 
-        x1 = nn.relu(
-            nn.Conv(self.chans, (3, 3), padding="SAME", name="conv1_x")(x0f)
-            + nn.Conv(self.chans, (3, 3), padding="SAME", name="conv1_h")(h1)
-        )
-        x2 = nn.relu(
-            nn.Conv(self.chans, (3, 3), padding="SAME", name="conv2_x")(x1)
-            + nn.Conv(self.chans, (3, 3), padding="SAME", name="conv2_h")(h2)
-        )
-        x3 = nn.relu(
-            nn.Conv(self.chans, (3, 3), padding="SAME", name="conv3_x")(x2)
-            + nn.Conv(self.chans, (3, 3), padding="SAME", name="conv3_h")(h3)
-        )
+        # each conv(x) + conv(h) pair (recurrent_varnet.py:126-141) is one
+        # fused conv over concatenated channels — exact math, half the
+        # padded MXU passes at chans~16 (see denoisers.crnn.fused_sum_conv)
+        x1 = nn.relu(fused_sum_conv(self.chans, 3, "conv1_xh", x0f, h1))
+        x2 = nn.relu(fused_sum_conv(self.chans, 3, "conv2_xh", x1, h2))
+        x3 = nn.relu(fused_sum_conv(self.chans, 3, "conv3_xh", x2, h3))
         x4 = nn.Conv(self.out_ch, (3, 3), padding="SAME", name="conv4_x")(x3)
         return x4, (x0, x1, x2, x3)
 
@@ -157,7 +154,7 @@ class _CineNetRNNStep(nn.Module):
     cg_iters: int
 
     @nn.compact
-    def __call__(self, carry, x_ref, mask, sens_maps):
+    def __call__(self, carry, x_ref, mask, sens_maps, dc_kernel):
         x, hiddens = carry
         b, t, h, w = x.shape
         x_in = _image_to_tb(x)
@@ -168,7 +165,10 @@ class _CineNetRNNStep(nn.Module):
         lam = self.param("lambda_reg", lambda_init, ())
         v = jax.nn.softplus(lam)
         rhs = x_ref + v * out_img  # recurrent_cinenet.py:179-181
-        op = lambda z: normal_plus_lambda(z, mask, sens_maps, v)
+        if dc_kernel is None:
+            op = lambda z: normal_plus_lambda(z, mask, sens_maps, v)
+        else:
+            op = lambda z: normal_plus_lambda_kernel(z, dc_kernel, sens_maps, v)
         x_new = conj_grad(op, rhs, out_img, iters=self.cg_iters)
         return (x_new[:, :, 0], hiddens), None
 
@@ -181,6 +181,7 @@ class CineNetRNN(nn.Module):
     cg_iters: int = 4
     chans: int = 64
     remat: bool = True
+    kernel_dc: bool = True  # see CineNet.kernel_dc
 
     @nn.compact
     def __call__(
@@ -190,17 +191,22 @@ class CineNetRNN(nn.Module):
         x = x_ref[:, :, 0]
         b, t, h, w = x.shape
         hiddens = _zero_hiddens(t, b, h, w, self.chans)
+        dc_kernel = (
+            masked_normal_kernel(mask)
+            if self.kernel_dc and is_line_mask(mask)
+            else None
+        )
 
         step = nn.remat(_CineNetRNNStep) if self.remat else _CineNetRNNStep
         scan = nn.scan(
             step,
             variable_broadcast="params",
             split_rngs={"params": False},
-            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
             length=self.num_cascades,
         )
         (x, _), _ = scan(chans=self.chans, cg_iters=self.cg_iters, name="iterations")(
-            (x, hiddens), x_ref, mask, sens_maps
+            (x, hiddens), x_ref, mask, sens_maps, dc_kernel
         )
         return x.abs()
 

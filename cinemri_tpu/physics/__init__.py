@@ -6,6 +6,9 @@ from cinemri_tpu.physics.operators import (
     apply_mask,
     soft_dc,
     normal_plus_lambda,
+    is_line_mask,
+    masked_normal_kernel,
+    normal_plus_lambda_kernel,
 )
 from cinemri_tpu.physics.cg import conj_grad
 from cinemri_tpu.physics.lowfreq import (
@@ -20,6 +23,9 @@ __all__ = [
     "apply_mask",
     "soft_dc",
     "normal_plus_lambda",
+    "is_line_mask",
+    "masked_normal_kernel",
+    "normal_plus_lambda_kernel",
     "conj_grad",
     "center_band",
     "mask_center_band",

@@ -28,6 +28,7 @@ __all__ = [
     "apply_mask",
     "soft_dc",
     "normal_plus_lambda",
+    "is_line_mask",
     "masked_normal_kernel",
     "normal_plus_lambda_kernel",
 ]
@@ -73,6 +74,14 @@ def normal_plus_lambda(x, mask: jnp.ndarray, sens_maps, lam) -> Complex:
     k = sens_expand(x, sens_maps)
     k = apply_mask(k, mask)
     return sens_reduce(k, sens_maps, keepdims=True) + lam * x
+
+
+def is_line_mask(mask: jnp.ndarray) -> bool:
+    """True for Cartesian phase-encode line masks ``(b, t|1, 1, h, 1)`` —
+    the shape :func:`masked_normal_kernel` can collapse into an h-axis
+    matrix. Both reference mask generators emit this shape
+    (subsample.py:146-151, 210-214)."""
+    return mask.ndim == 5 and mask.shape[2] == 1 and mask.shape[-1] == 1
 
 
 def masked_normal_kernel(mask: jnp.ndarray, norm: str = "ortho") -> Complex:

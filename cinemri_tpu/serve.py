@@ -19,7 +19,46 @@ import numpy as np
 
 from cinemri_tpu.ops.cplx import Complex
 
-__all__ = ["export_model", "load_exported", "register_complex_serialization"]
+__all__ = [
+    "export_model",
+    "load_exported",
+    "register_complex_serialization",
+    "serial_batch",
+]
+
+
+def serial_batch(fn: Callable) -> Callable:
+    """Wrap a single-volume forward into a batched one that reconstructs
+    the volumes **sequentially on device** (``lax.map``).
+
+    Why not just batch: at the reference protocol shape (15x10x200x200) a
+    single volume already saturates the v5e chip — the per-cascade DFT-chain
+    intermediates (~240 MB) stream at HBM speed-of-light and the U-Net
+    activations stay VMEM-resident. Jointly batching multiplies those
+    intermediates past VMEM capacity, XLA spills them to HBM with
+    transposing copies, and latency scales superlinearly (measured: batch=4
+    costs 5.2x batch=1; profile in BASELINE.md "Serving modes"). Mapping
+    sequentially keeps the single-volume program and its VMEM residency:
+    batch=n costs exactly n x batch=1 (measured 330 fps at batch=4 vs 319
+    at batch=1), so batched serving never loses to single dispatch.
+
+    Args:
+        fn: single-volume forward taking batch-1 arrays/pytrees (leading
+            axis 1), e.g. ``lambda k, m: model.apply(params, k, m)``.
+    Returns:
+        A callable with the same signature over batch-n inputs, jit-safe.
+    """
+    import jax
+
+    def batched(*args):
+        def one(sliced):
+            unit = jax.tree.map(lambda a: a[None], sliced)
+            out = fn(*unit)
+            return jax.tree.map(lambda a: a[0], out)
+
+        return jax.lax.map(one, args)
+
+    return batched
 
 _registered = False
 

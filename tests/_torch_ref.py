@@ -150,23 +150,30 @@ def mwcnn_params(tm) -> dict:
     return p
 
 
+def fused_conv_w(*mods) -> dict:
+    """Sum-of-convs -> the framework's fused single conv: kernels concatenate
+    along the input-channel axis (matching the input concat order) and
+    biases sum (see cinemri_tpu.models.denoisers.crnn.fused_sum_conv)."""
+    parts = [conv_w(m) for m in mods]
+    out = {"kernel": np.concatenate([p["kernel"] for p in parts], axis=-2)}
+    if "bias" in parts[0]:
+        out["bias"] = np.sum([p["bias"] for p in parts], axis=0)
+    return out
+
+
 def crnn_trunk_params(tmodel) -> dict:
     """reference VarNet_RNN conv trunk + BCRNN -> flax CRNNTrunk params."""
     cell = tmodel.bcrnn.CRNN_model
     return {
         "bcrnn": {
             "cell": {
-                "i2h": conv_w(cell.i2h),
-                "h2h": conv_w(cell.h2h),
-                "ih2ih": conv_w(cell.ih2ih),
+                # fused conv input order: (x, hidden_time, hidden_iteration)
+                "i2h_h2h_ih2ih": fused_conv_w(cell.i2h, cell.h2h, cell.ih2ih),
             }
         },
-        "conv1_x": conv_w(tmodel.conv1_x),
-        "conv1_h": conv_w(tmodel.conv1_h),
-        "conv2_x": conv_w(tmodel.conv2_x),
-        "conv2_h": conv_w(tmodel.conv2_h),
-        "conv3_x": conv_w(tmodel.conv3_x),
-        "conv3_h": conv_w(tmodel.conv3_h),
+        "conv1_xh": fused_conv_w(tmodel.conv1_x, tmodel.conv1_h),
+        "conv2_xh": fused_conv_w(tmodel.conv2_x, tmodel.conv2_h),
+        "conv3_xh": fused_conv_w(tmodel.conv3_x, tmodel.conv3_h),
         "conv4_x": conv_w(tmodel.conv4_x),
     }
 

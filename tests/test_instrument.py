@@ -45,3 +45,25 @@ class TestTrace:
         with trace(tmp_path / "prof"):
             jnp.ones((128, 128)).sum().block_until_ready()
         assert any((tmp_path / "prof").rglob("*"))
+
+
+class TestOpStats:
+    def test_parses_existing_trace(self, tmp_path):
+        """Capture a tiny trace and aggregate op durations from it."""
+        pytest.importorskip("tensorflow")
+        import jax
+        import jax.numpy as jnp
+
+        from cinemri_tpu import instrument
+        from cinemri_tpu.instrument import opstats
+
+        f = jax.jit(lambda x: jnp.sum(x * x + 1.0))
+        x = jnp.ones((256, 256))
+        float(f(x))
+        with instrument.trace(tmp_path):
+            float(f(x))
+
+        by_kind = opstats.durations_by_kind(tmp_path)
+        assert isinstance(by_kind, dict)
+        top = opstats.top_ops(tmp_path, n=5)
+        assert all(isinstance(ms, float) for _, ms in top)

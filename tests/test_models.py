@@ -76,11 +76,6 @@ class TestAllVariants:
         np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
 
     def test_gradients_flow_to_all_params(self, family, dyn, batch):
-        # gradients are exercised on one unrolled + the CRNN variant per
-        # family; the other dynamic types share the same cascade machinery
-        # (keeps the CPU suite fast)
-        if dyn not in ("XF", "CRNN"):
-            pytest.skip("gradient path covered by XF/CRNN variants")
         model = _make(family, dyn)
         k, m, sens = batch
         args = (k, m, sens) if family == "cinenet" else (k, m)
@@ -90,11 +85,19 @@ class TestAllVariants:
         def loss_fn(p):
             return ssim_loss(model.apply(p, *args), target)
 
-        grads = jax.grad(loss_fn)(params)
+        loss0, grads = jax.value_and_grad(loss_fn)(params)
         leaves = jax.tree.leaves(grads)
         assert all(bool(jnp.isfinite(g).all()) for g in leaves)
         nonzero = sum(float(jnp.abs(g).sum()) > 0 for g in leaves)
         assert nonzero / len(leaves) > 0.9  # essentially every tensor learns
+        # one SGD step along -grad reduces the loss (sane descent direction)
+        gnorm = jnp.sqrt(
+            sum(jnp.sum(g * g) for g in leaves)
+        )
+        lr = 0.01 / (gnorm + 1e-12)
+        stepped = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+        loss1 = loss_fn(stepped)
+        assert float(loss1) < float(loss0)
 
 
 class TestStructure:
@@ -195,6 +198,21 @@ class TestDenoisers:
 
 
 class TestRobustness:
+    @pytest.mark.parametrize("family,dyn", [("cinenet", "XF"), ("cinenet", "CRNN")])
+    def test_kernel_dc_matches_direct_cg(self, family, dyn, batch):
+        """The precomputed-kernel CG normal operator is a pure speed
+        restructuring — forwards must match the direct-FFT path."""
+        kwargs = CRNN_SMALL[family] if dyn == "CRNN" else SMALL[family]
+        k, m, sens = batch
+        fast = build_model(family, dyn, kernel_dc=True, **kwargs)
+        slow = build_model(family, dyn, kernel_dc=False, **kwargs)
+        p = fast.init(jax.random.PRNGKey(0), k, m, sens)
+        np.testing.assert_allclose(
+            np.asarray(fast.apply(p, k, m, sens)),
+            np.asarray(slow.apply(p, k, m, sens)),
+            rtol=1e-4, atol=1e-4,
+        )
+
     def test_remat_matches_no_remat(self, batch):
         """Rematerialized cascades must be numerically identical."""
         k, m, _ = batch

@@ -105,6 +105,53 @@ class TestCG:
         assert np.isfinite(float(g))
 
 
+class TestNormalKernel:
+    """masked_normal_kernel collapses FhᴴMFh into one h×h matrix; the
+    kernelized operator must match the direct 4-DFT-pass one exactly."""
+
+    def test_matches_direct_operator(self, rng):
+        image, _, sens, mask = _setup(rng)
+        lam = jnp.asarray(0.3)
+        direct = physics.normal_plus_lambda(image, mask, sens, lam)
+        kern = physics.masked_normal_kernel(mask)
+        fast = physics.normal_plus_lambda_kernel(image, kern, sens, lam)
+        np.testing.assert_allclose(
+            to_numpy(fast), to_numpy(direct), rtol=1e-4, atol=1e-4
+        )
+
+    def test_broadcast_frame_mask(self, rng):
+        """Equispaced masks carry t=1; the kernel must broadcast over frames."""
+        image, _, sens, mask = _setup(rng)
+        mask1 = mask[:, :1]
+        lam = jnp.asarray(0.7)
+        direct = physics.normal_plus_lambda(image, mask1, sens, lam)
+        fast = physics.normal_plus_lambda_kernel(
+            image, physics.masked_normal_kernel(mask1), sens, lam
+        )
+        np.testing.assert_allclose(
+            to_numpy(fast), to_numpy(direct), rtol=1e-4, atol=1e-4
+        )
+
+    def test_is_line_mask(self, rng):
+        _, _, _, mask = _setup(rng)
+        assert physics.is_line_mask(mask)
+        assert physics.is_line_mask(mask[:, :1])
+        assert not physics.is_line_mask(jnp.ones((1, 3, 1, 16, 18)))
+
+    def test_cg_solution_matches_direct(self, rng):
+        """6 CG iterations through the kernel operator land on the same
+        iterate as through the direct operator (CineNet DC parity)."""
+        image, _, sens, mask = _setup(rng, t=2, c=3, h=12, w=12)
+        lam = jnp.asarray(0.5)
+        x0 = Complex(jnp.zeros_like(image.re), jnp.zeros_like(image.im))
+        op_d = lambda x: physics.normal_plus_lambda(x, mask, sens, lam)
+        kern = physics.masked_normal_kernel(mask)
+        op_k = lambda x: physics.normal_plus_lambda_kernel(x, kern, sens, lam)
+        xd = physics.conj_grad(op_d, image, x0, iters=6)
+        xk = physics.conj_grad(op_k, image, x0, iters=6)
+        np.testing.assert_allclose(to_numpy(xk), to_numpy(xd), rtol=1e-3, atol=1e-4)
+
+
 class TestLowFreq:
     def _mask_with_band(self, h, pad, width, t=3):
         m = np.zeros((1, t, 1, h, 1), np.float32)

@@ -49,3 +49,22 @@ class TestExport:
         fn = load_exported(blob)
         out = fn(np.asarray(km.re), np.asarray(km.im), np.asarray(mask))
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestSerialBatch:
+    def test_matches_per_volume_forward(self, setup):
+        """serial_batch over n volumes == n independent batch-1 forwards."""
+        from cinemri_tpu.serve import serial_batch
+
+        model, params, km, mask = setup
+        n = 3
+        kb = jax.tree.map(lambda a: jnp.concatenate([a * (i + 1) for i in range(n)]), km)
+        mb = jnp.concatenate([mask] * n)
+
+        fwd = lambda k, m: model.apply(params, k, m)
+        got = np.asarray(jax.jit(serial_batch(fwd))(kb, mb))
+        assert got.shape[0] == n
+        for i in range(n):
+            unit = jax.tree.map(lambda a, i=i: a[i : i + 1], kb)
+            want = np.asarray(jax.jit(fwd)(unit, mb[i : i + 1]))
+            np.testing.assert_allclose(got[i : i + 1], want, rtol=1e-4, atol=1e-5)
