@@ -16,6 +16,25 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+def _mfu(jitted, args, seconds: float):
+    """FLOPs of the compiled program / wall time, vs the chip's bf16 peak."""
+    import jax
+
+    peaks = {"v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12, "v4": 275e12,
+             "v6": 918e12, "trillium": 918e12}
+    kind = jax.devices()[0].device_kind.lower()
+    peak = next((v for k, v in peaks.items() if k in kind), None)
+    if peak is None:
+        return None
+    try:
+        flops = float(
+            jitted.lower(*args).compile().cost_analysis().get("flops", 0.0)
+        )
+    except Exception:
+        return None
+    return round(flops / seconds / peak, 4) if flops > 0 else None
+
+
 def main(full: bool = False):
     import jax
 
@@ -80,6 +99,7 @@ def main(full: bool = False):
                 "volume_ms": round(best * 1000, 2),
                 "frames_per_sec": round(T / best, 1),
                 "compile_s": round(compile_s, 1),
+                "mfu": _mfu(fwd_sum, (params, *args), best),
             }), flush=True)
         except Exception as e:  # keep the sweep going
             print(json.dumps({"model": f"{family}-{dyn}", "error": str(e)[:200]}), flush=True)

@@ -1,0 +1,109 @@
+"""Training-step throughput at the reference protocol shape.
+
+Times one full jitted train step (forward + backward through all remat'd
+cascades + Adam update) per model family on the available accelerator —
+the training-side counterpart of bench/all_models.py. The reference's only
+training-time measurement is `perf_counter` hours around `trainer.fit`
+(train_test_varnet.py:101-105).
+
+Usage: python bench/train_step.py [--full]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main(full: bool = False):
+    import jax
+
+    from cinemri_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    import jax.numpy as jnp
+    import optax
+
+    from cinemri_tpu.data.masks import RandomMask
+    from cinemri_tpu.models import build_model
+    from cinemri_tpu.ops.cplx import from_complex
+    from cinemri_tpu.ops.ssim import ssim_loss
+    from cinemri_tpu.train import make_optimizer
+
+    T, C, H, W = 15, 10, 200, 200
+    rng = np.random.default_rng(0)
+    k = (
+        rng.standard_normal((1, T, C, H, W))
+        + 1j * rng.standard_normal((1, T, C, H, W))
+    ).astype(np.complex64)
+    mask_np = RandomMask([10], [4])(T, H, seed=0)[None]
+    km = from_complex(k * mask_np)
+    mask = jnp.asarray(mask_np.astype(np.float32))
+    s = (
+        rng.standard_normal((1, 1, C, H, W))
+        + 1j * rng.standard_normal((1, 1, C, H, W))
+    ).astype(np.complex64)
+    s /= np.sqrt((np.abs(s) ** 2).sum(2, keepdims=True))
+    sens = from_complex(s)
+    target = jnp.asarray(np.abs(k).mean(axis=2).astype(np.float32))
+
+    configs = [
+        ("varnet", "XF", dict(num_cascades=10, sens_chans=8, sens_pools=3, chans=16, pools=3)),
+        ("cinenet", "XF", dict(num_cascades=10, cg_iters=6, chans=16, pools=3)),
+        ("xpdnet", "XF", dict(num_cascades=9, sens_chans=8, sens_pools=3, n_scales=3,
+                              n_filters_per_scale=(16, 32, 64), n_primal=5)),
+    ]
+    if full:
+        configs += [
+            ("varnet", "CRNN", dict(num_cascades=10, sens_chans=8, sens_pools=3, chans=16)),
+            ("cinenet", "CRNN", dict(num_cascades=10, cg_iters=6, chans=16)),
+        ]
+
+    tx = make_optimizer(lr=1e-4, lr_step_size=10**6, steps_per_epoch=1)
+    for family, dyn, kwargs in configs:
+        try:
+            model = build_model(family, dyn, **kwargs)
+            args = (km, mask, sens) if family == "cinenet" else (km, mask)
+            params = jax.jit(model.init)(jax.random.PRNGKey(0), *args)
+            opt_state = tx.init(params)
+
+            @jax.jit
+            def step(params, opt_state, *a):
+                def loss_fn(p):
+                    return ssim_loss(model.apply(p, *a), target)
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state2 = tx.update(grads, opt_state, params)
+                return optax.apply_updates(params, updates), opt_state2, loss
+
+            t0 = time.perf_counter()
+            params2, opt2, loss = step(params, opt_state, *args)
+            float(loss)
+            compile_s = time.perf_counter() - t0
+
+            n = 10
+            t0 = time.perf_counter()
+            p, o = params2, opt2
+            for _ in range(n):
+                p, o, loss = step(p, o, *args)
+            float(loss)  # sync: loss depends on the final step's params
+            per_step = (time.perf_counter() - t0) / n
+            print(json.dumps({
+                "model": f"{family}-{dyn}",
+                "step_ms": round(per_step * 1000, 1),
+                "steps_per_sec": round(1 / per_step, 2),
+                "compile_s": round(compile_s, 1),
+            }), flush=True)
+        except Exception as e:
+            print(json.dumps({"model": f"{family}-{dyn}", "error": str(e)[:200]}), flush=True)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true")
+    main(ap.parse_args().full)

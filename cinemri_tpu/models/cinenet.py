@@ -53,6 +53,7 @@ class CineNetCascade(nn.Module):
     cg_iters: int = 4
     dynamic_type: str = "XF"
     weight_sharing: bool = False
+    plane_axis: str = ""  # sequence-parallel mesh axis (see VarNetCascade)
 
     def _unet(self, name: str) -> Unet:
         dims = 3 if self.dynamic_type == "3D" else 2
@@ -69,6 +70,12 @@ class CineNetCascade(nn.Module):
 
         xf = _to_real_ch(x.transpose(0, 2, 3, 1)).reshape(b * h, w, t, 2)
         yf = _to_real_ch(x.transpose(0, 3, 2, 1)).reshape(b * w, h, t, 2)
+        if self.plane_axis:
+            from jax.sharding import PartitionSpec
+
+            spec = PartitionSpec(self.plane_axis)
+            xf = jax.lax.with_sharding_constraint(xf, spec)
+            yf = jax.lax.with_sharding_constraint(yf, spec)
         if self.weight_sharing:
             net = self._unet("plane_net")
             xf, yf = net(xf), net(yf)
@@ -119,6 +126,7 @@ class CineNet(nn.Module):
     dynamic_type: str = "XF"
     weight_sharing: bool = False
     remat: bool = True
+    plane_axis: str = ""  # sequence-parallel mesh axis for XT/XF planes
     # Run the CG normal operator through the precomputed h-axis kernel
     # (physics.operators.masked_normal_kernel): one MXU matmul per CG apply
     # instead of the reference's full 2-D FFT pair per iteration
@@ -156,6 +164,7 @@ class CineNet(nn.Module):
             cg_iters=self.cg_iters,
             dynamic_type=self.dynamic_type,
             weight_sharing=self.weight_sharing,
+            plane_axis=self.plane_axis,
             name="cascades",
         )(image_ref, lam, image_ref, mask, sens_maps, dc_kernel)
 

@@ -104,6 +104,7 @@ class XPDNetBlock(nn.Module):
     n_dual: int = 1
     dynamic_type: str = "XF"
     weight_sharing: bool = False
+    plane_axis: str = ""  # sequence-parallel mesh axis (see VarNetCascade)
 
     def _mwcnn(self, name: str) -> MWCNN:
         return MWCNN(
@@ -150,6 +151,14 @@ class XPDNetBlock(nn.Module):
         # planes: (b*h, w, t, 2ch) and (b*w, h, t, 2ch), channels-last
         xf = _split_ri(x.transpose(0, 2, 3, 1, 4)).reshape(b * h, w, t, 2 * ch)
         yf = _split_ri(x.transpose(0, 3, 2, 1, 4)).reshape(b * w, h, t, 2 * ch)
+        if self.plane_axis:
+            from jax.sharding import PartitionSpec
+
+            import jax
+
+            spec = PartitionSpec(self.plane_axis)
+            xf = jax.lax.with_sharding_constraint(xf, spec)
+            yf = jax.lax.with_sharding_constraint(yf, spec)
         if self.weight_sharing:
             xf = self._apply_net(xf, "image_net")
             yf = self._apply_net(yf, "image_net")
@@ -213,6 +222,7 @@ class XPDNet(nn.Module):
     dynamic_type: str = "XF"
     weight_sharing: bool = False
     remat: bool = True
+    plane_axis: str = ""  # sequence-parallel mesh axis for XT/XF planes
 
     @nn.compact
     def __call__(self, masked_kspace: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -250,6 +260,7 @@ class XPDNet(nn.Module):
             n_dual=self.n_dual,
             dynamic_type=self.dynamic_type,
             weight_sharing=self.weight_sharing,
+            plane_axis=self.plane_axis,
             name="cascades",
         )((image_buffer, kspace_buffer), masked_kspace, mask, sens_maps)
 

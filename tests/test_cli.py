@@ -91,6 +91,27 @@ class TestTrainTestFlow:
         assert {"target", "output", "zero"} <= kinds
         assert out["inference_seconds"] > 0
 
+    def test_checkpoints_scoped_per_config(self, workdir):
+        """Training a second dynamic_type into the same log root must save
+        and restore its own checkpoints (regression: a shared Orbax step
+        dir silently skipped saves at lower step numbers, then crashed the
+        restore with a mismatched tree). Mirrors the reference's stamped
+        checkpoint filenames (train_test_varnet.py:270-277)."""
+        common = TINY_ARGS + [
+            "--path_config", str(workdir / "dirs_path.yaml"),
+            "--maps_cache_dir", str(workdir / "maps"),
+            "--chans", "4",
+            "--sens_chans", "4", "--sens_pools", "2", "--pools", "2",
+            "--dynamic_type", "2D",
+        ]
+        # test_varnet_train_then_test_with_inference already trained XF into
+        # this log root at a higher epoch count than this 1-epoch run
+        train_test_main("varnet", common + ["--mode", "train", "--save_checkpoint", "1"])
+        ckpt_root = workdir / "logs" / "varnet" / "varnet_logs" / "checkpoints"
+        assert (ckpt_root / "varnet_2D_acc2").is_dir()
+        out = train_test_main("varnet", common + ["--mode", "test", "--load_model", "1"])
+        assert 0 < out["test_metrics"]["ssim"] <= 1
+
     def test_cinenet_smoke(self, workdir):
         out = train_test_main(
             "cinenet",

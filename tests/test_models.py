@@ -287,3 +287,33 @@ class TestTorchStyleInit:
         re = torch_style_init(params, jax.random.PRNGKey(0))
         _, out = _apply(model, "varnet", batch, re)
         assert bool(jnp.isfinite(out).all())
+
+
+class TestFusedSumConv:
+    def test_equals_sum_of_convs(self, rng):
+        """conv(x,Wx)+conv(h,Wh) == fused conv([x,h],[Wx;Wh]) + summed bias."""
+        import flax.linen as nn
+        from cinemri_tpu.models.denoisers.crnn import fused_sum_conv
+
+        x = jnp.asarray(rng.standard_normal((2, 12, 10, 3)).astype(np.float32))
+        h = jnp.asarray(rng.standard_normal((2, 12, 10, 5)).astype(np.float32))
+
+        class Fused(nn.Module):
+            @nn.compact
+            def __call__(self, x, h):
+                return fused_sum_conv(4, 3, "c", x, h)
+
+        m = Fused()
+        p = m.init(jax.random.PRNGKey(0), x, h)
+        k = p["params"]["c"]["kernel"]  # (3, 3, 8, 4)
+        b = p["params"]["c"]["bias"]
+        got = m.apply(p, x, h)
+
+        def conv(inp, kern):
+            return jax.lax.conv_general_dilated(
+                inp, kern, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        want = conv(x, k[:, :, :3]) + conv(h, k[:, :, 3:]) + b
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)

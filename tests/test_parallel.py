@@ -131,6 +131,52 @@ class TestSequenceParallelPlanes:
         out_shard = to_numpy(jax.jit(lambda p, v: net.apply(p, v))(params, xs))
         np.testing.assert_allclose(out_shard, out_rep, rtol=2e-4, atol=2e-5)
 
+    @pytest.mark.parametrize("family", ["varnet", "cinenet", "xpdnet"])
+    def test_plane_axis_model_equivalence(self, family, rng):
+        """Every family's XF model accepts plane_axis and produces the same
+        reconstruction sharded over the plane mesh axis as replicated."""
+        from cinemri_tpu.models import build_model
+        from cinemri_tpu.ops.cplx import from_complex
+
+        b, t, c, h, w = 1, 3, 2, 16, 16
+        k = (
+            rng.standard_normal((b, t, c, h, w))
+            + 1j * rng.standard_normal((b, t, c, h, w))
+        ).astype(np.complex64)
+        m = np.zeros((b, t, 1, h, 1), np.float32)
+        m[:, :, :, h // 2 - 3 : h // 2 + 3] = 1
+        m[:, :, :, 2] = 1
+        sens = (
+            rng.standard_normal((b, 1, c, h, w))
+            + 1j * rng.standard_normal((b, 1, c, h, w))
+        ).astype(np.complex64)
+        sens /= np.sqrt((np.abs(sens) ** 2).sum(2, keepdims=True))
+
+        kwargs = dict(num_cascades=1)
+        if family == "varnet":
+            kwargs.update(sens_chans=4, sens_pools=2, chans=4, pools=2)
+        elif family == "cinenet":
+            kwargs.update(cg_iters=2, chans=4, pools=2)
+        else:
+            kwargs.update(
+                sens_chans=4, sens_pools=2, n_scales=2,
+                n_filters_per_scale=(4, 8), n_convs_per_scale=(2, 2), n_primal=3,
+            )
+        args = (
+            (from_complex(k * m), jnp.asarray(m), from_complex(sens))
+            if family == "cinenet"
+            else (from_complex(k * m), jnp.asarray(m))
+        )
+        plain = build_model(family, "XF", **kwargs)
+        params = plain.init(jax.random.PRNGKey(0), *args)
+        want = np.asarray(jax.jit(plain.apply)(params, *args))
+
+        mesh = make_mesh({"plane": 8})
+        sharded = build_model(family, "XF", plane_axis="plane", **kwargs)
+        with jax.set_mesh(mesh):
+            got = np.asarray(jax.jit(sharded.apply)(params, *args))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
 
 class TestDistributedHelpers:
     def test_process_info_single_host(self):
