@@ -42,6 +42,7 @@ from cinemri_tpu.physics.operators import (
     sens_expand,
     sens_reduce,
     soft_dc,
+    soft_dc_image_kernel,
 )
 
 __all__ = ["VarNetRNN", "CineNetRNN", "XPDNetRNN", "CRNNTrunk"]
@@ -101,7 +102,7 @@ class _VarNetRNNStep(nn.Module):
     chans: int
 
     @nn.compact
-    def __call__(self, carry, ref_kspace, mask, sens_maps):
+    def __call__(self, carry, ref, mask, sens_maps, dc_kernel):
         x, hiddens = carry
         b, t, h, w = x.shape
         x_in = _image_to_tb(x)  # (t, b, h, w, 2)
@@ -111,9 +112,14 @@ class _VarNetRNNStep(nn.Module):
 
         lam = self.param("lambda_reg", lambda_init, ())
         v = jax.nn.softplus(lam)
-        current_k = sens_expand(out_img[:, :, None], sens_maps)
-        dc = soft_dc(current_k, ref_kspace, mask, v)
-        x_new = sens_reduce(dc, sens_maps)[:, :, 0]
+        if dc_kernel is None:  # ref is the k-space reference
+            current_k = sens_expand(out_img[:, :, None], sens_maps)
+            dc = soft_dc(current_k, ref, mask, v)
+            x_new = sens_reduce(dc, sens_maps)[:, :, 0]
+        else:  # ref is the zero-filled image; zero per-cascade DFTs
+            x_new = soft_dc_image_kernel(
+                out_img[:, :, None], ref, dc_kernel, sens_maps, v
+            )[:, :, 0]
         return (x_new, hiddens), None
 
 
@@ -125,26 +131,32 @@ class VarNetRNN(nn.Module):
     sens_pools: int = 4
     chans: int = 18
     remat: bool = True
+    kernel_dc: bool = True  # see VarNet.kernel_dc
 
     @nn.compact
     def __call__(self, ref_kspace: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         sens_maps = SensitivityModel(self.sens_chans, self.sens_pools, name="sens_net")(
             ref_kspace, mask
         )
-        x = sens_reduce(ref_kspace, sens_maps)[:, :, 0]  # (b, t, h, w)
+        x_ref = sens_reduce(ref_kspace, sens_maps)  # (b, t, 1, h, w)
+        x = x_ref[:, :, 0]
         b, t, h, w = x.shape
         hiddens = _zero_hiddens(t, b, h, w, self.chans)
+
+        use_kernel = self.kernel_dc and is_line_mask(mask)
+        dc_kernel = masked_normal_kernel(mask) if use_kernel else None
+        ref = x_ref if use_kernel else ref_kspace
 
         step = nn.remat(_VarNetRNNStep) if self.remat else _VarNetRNNStep
         scan = nn.scan(
             step,
             variable_broadcast="params",
             split_rngs={"params": False},
-            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
             length=self.num_cascades,
         )
         (x, _), _ = scan(chans=self.chans, name="iterations")(
-            (x, hiddens), ref_kspace, mask, sens_maps
+            (x, hiddens), ref, mask, sens_maps, dc_kernel
         )
         return x.abs()
 
@@ -211,16 +223,38 @@ class CineNetRNN(nn.Module):
         return x.abs()
 
 
-def _xpdnet_rnn_body(carry, ref_kspace, mask, sens_maps, trunk, kspace_net, n_primal):
+def _xpdnet_rnn_body(
+    carry, ref_kspace, mask, sens_maps, trunk, kspace_net, n_primal,
+    x_ref=None, dc_kernel=None,
+):
     """One K-correction + buffer update + CRNN image correction
     (recurrent_xpdnet.py:89-231). ``trunk`` is a bound CRNNTrunk; ``kspace_net``
-    is a bound KSpaceCNN or None for the measurements-residual default."""
+    is a bound KSpaceCNN or None for the measurements-residual default.
+
+    With ``dc_kernel`` (measurements-residual mode only): the k-space buffer
+    is ``fwd − ref`` and its sole consumer is the backward operator, so the
+    whole k-space round trip collapses to ``N(head) − x_ref`` (one h-axis
+    matmul, see physics.soft_dc_image_kernel's derivation); the dead k
+    buffer rides the carry unchanged.
+    """
     image_buffer, kspace_buffer, hiddens = carry
     b, t, h, w, _ = image_buffer.shape
     n = n_primal
 
-    # k-domain correction
     head = image_buffer[..., 0][:, :, None]
+    if kspace_net is None and dc_kernel is not None:
+        bwd = (
+            normal_plus_lambda_kernel(head, dc_kernel, sens_maps, 0.0) - x_ref
+        )[:, :, 0]
+        buf = cconcat([image_buffer, bwd[..., None]], axis=-1)
+        x_in = _split_ri(buf).transpose(1, 0, 2, 3, 4)
+        x4, hiddens = trunk(x_in, hiddens)
+        x_res = _split_ri(buf[..., :n]).transpose(1, 0, 2, 3, 4)
+        out = x_res.reshape(t * b, h, w, 2 * n) + x4
+        image_buffer = _merge_ri(out.reshape(t, b, h, w, 2 * n)).transpose(1, 0, 2, 3, 4)
+        return image_buffer, kspace_buffer, hiddens
+
+    # k-domain correction
     fwd = apply_mask(sens_expand(head, sens_maps), mask)
     if kspace_net is not None:
         cat = cconcat(
@@ -251,7 +285,7 @@ class _XPDNetRNNStep(nn.Module):
     n_primal: int
 
     @nn.compact
-    def __call__(self, carry, ref_kspace, mask, sens_maps):
+    def __call__(self, carry, ref_kspace, mask, sens_maps, x_ref, dc_kernel):
         trunk = CRNNTrunk(
             self.chans,
             in_ch=2 * (self.n_primal + 1),
@@ -259,7 +293,8 @@ class _XPDNetRNNStep(nn.Module):
             name="trunk",
         )
         carry = _xpdnet_rnn_body(
-            carry, ref_kspace, mask, sens_maps, trunk, None, self.n_primal
+            carry, ref_kspace, mask, sens_maps, trunk, None, self.n_primal,
+            x_ref=x_ref, dc_kernel=dc_kernel,
         )
         return carry, None
 
@@ -282,13 +317,15 @@ class XPDNetRNN(nn.Module):
     n_primal: int = 5
     n_dual: int = 1
     remat: bool = True
+    kernel_dc: bool = True  # see VarNet.kernel_dc (primal_only mode only)
 
     @nn.compact
     def __call__(self, ref_kspace: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         sens_maps = XPDNetSensitivityModel(
             self.sens_chans, self.sens_pools, name="sens_net"
         )(ref_kspace, mask)
-        image = sens_reduce(apply_mask(ref_kspace, mask), sens_maps)[:, :, 0]
+        x_ref = sens_reduce(apply_mask(ref_kspace, mask), sens_maps)
+        image = x_ref[:, :, 0]
         k_buf_size = 1 if self.primal_only else self.n_dual
         image_buffer = crepeat(image[..., None], self.n_primal, axis=-1)
         kspace_buffer = crepeat(ref_kspace[..., None], k_buf_size, axis=-1)
@@ -298,18 +335,20 @@ class XPDNetRNN(nn.Module):
         carry = (image_buffer, kspace_buffer, hiddens)
 
         if self.primal_only:
+            use_kernel = self.kernel_dc and is_line_mask(mask)
+            dc_kernel = masked_normal_kernel(mask) if use_kernel else None
             # all weights iteration-shared: scan + remat
             step_cls = nn.remat(_XPDNetRNNStep) if self.remat else _XPDNetRNNStep
             scan = nn.scan(
                 step_cls,
                 variable_broadcast="params",
                 split_rngs={"params": False},
-                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+                in_axes=(nn.broadcast,) * 5,
                 length=self.num_cascades,
             )
             carry, _ = scan(
                 chans=self.chans, n_primal=self.n_primal, name="iterations"
-            )(carry, ref_kspace, mask, sens_maps)
+            )(carry, ref_kspace, mask, sens_maps, x_ref if use_kernel else None, dc_kernel)
         else:
             # shared trunk, per-iteration k-space nets (recurrent_xpdnet.py:66-73)
             trunk = CRNNTrunk(

@@ -31,7 +31,14 @@ from cinemri_tpu.ops.cplx import Complex, cmean
 from cinemri_tpu.ops.coil import rss_complex
 from cinemri_tpu.ops.fft import fft1c, ifft1c, ifft2c
 from cinemri_tpu.physics.lowfreq import center_band, mask_center_band
-from cinemri_tpu.physics.operators import sens_expand, sens_reduce, soft_dc
+from cinemri_tpu.physics.operators import (
+    is_line_mask,
+    masked_normal_kernel,
+    sens_expand,
+    sens_reduce,
+    soft_dc,
+    soft_dc_image_kernel,
+)
 
 __all__ = ["VarNet", "VarNetCascade", "SensitivityModel", "LAMBDA_INIT", "DYNAMIC_TYPES"]
 
@@ -121,8 +128,15 @@ class VarNetCascade(nn.Module):
         return out + mean
 
     @nn.compact
-    def __call__(self, kspace_pred, lam, ref_kspace, mask, sens_maps):
-        image = sens_reduce(kspace_pred, sens_maps)[:, :, 0]  # (b, t, h, w)
+    def __call__(self, carry, lam, ref, mask, sens_maps, dc_kernel):
+        # Two equivalent cascade forms (see physics.soft_dc_image_kernel):
+        #   direct: carry/ref are k-space; per-cascade FFT pair + soft DC
+        #   kernel: carry/ref are the combined image; the whole DC leg is
+        #           R0*z - a*N(z) + a*x_ref with zero per-cascade DFTs
+        if dc_kernel is None:
+            image = sens_reduce(carry, sens_maps)[:, :, 0]  # (b, t, h, w)
+        else:
+            image = carry[:, :, 0]
         b, t, h, w = image.shape
 
         if self.dynamic_type in ("XF", "XT"):
@@ -139,9 +153,14 @@ class VarNetCascade(nn.Module):
         else:
             raise ValueError(f"unknown dynamic_type {self.dynamic_type}")
 
-        model_term = sens_expand(model_out[:, :, None], sens_maps)
         v = jax.nn.softplus(lam)
-        return soft_dc(model_term, ref_kspace, mask, v), None
+        if dc_kernel is None:
+            model_term = sens_expand(model_out[:, :, None], sens_maps)
+            return soft_dc(model_term, ref, mask, v), None
+        return (
+            soft_dc_image_kernel(model_out[:, :, None], ref, dc_kernel, sens_maps, v),
+            None,
+        )
 
 
 class VarNet(nn.Module):
@@ -156,6 +175,10 @@ class VarNet(nn.Module):
     weight_sharing: bool = False
     remat: bool = True
     plane_axis: str = ""  # sequence-parallel mesh axis for XT/XF planes
+    # image-space cascades through the precomputed DC kernel (see
+    # physics.soft_dc_image_kernel) — numerically identical to the direct
+    # k-space form; auto-falls back for non-line masks
+    kernel_dc: bool = True
 
     @nn.compact
     def __call__(self, masked_kspace: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -169,22 +192,32 @@ class VarNet(nn.Module):
         )
         lam = self.param("lambda_reg", lambda_init, (self.num_cascades,))
 
+        use_kernel = self.kernel_dc and is_line_mask(mask)
+        if use_kernel:
+            dc_kernel = masked_normal_kernel(mask)
+            x_ref = sens_reduce(masked_kspace, sens_maps)  # (b, t, 1, h, w)
+            carry0, ref = x_ref, x_ref
+        else:
+            dc_kernel, carry0, ref = None, masked_kspace, masked_kspace
+
         block = nn.remat(VarNetCascade) if self.remat else VarNetCascade
         scan = nn.scan(
             block,
             variable_broadcast="params",  # regularizer U-Net shared (varnet.py:138-149)
             split_rngs={"params": False},
-            in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast),
+            in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
             length=self.num_cascades,
         )
-        kspace_pred, _ = scan(
+        pred, _ = scan(
             chans=self.chans,
             pools=self.pools,
             dynamic_type=self.dynamic_type,
             weight_sharing=self.weight_sharing,
             plane_axis=self.plane_axis,
             name="cascades",
-        )(masked_kspace, lam, masked_kspace, mask, sens_maps)
+        )(carry0, lam, ref, mask, sens_maps, dc_kernel)
 
-        image = sens_reduce(kspace_pred, sens_maps, keepdims=False)  # (b, t, h, w)
+        if use_kernel:
+            return pred[:, :, 0].abs()  # carry IS sens_reduce(k_pred)
+        image = sens_reduce(pred, sens_maps, keepdims=False)  # (b, t, h, w)
         return image.abs()

@@ -54,7 +54,14 @@ from cinemri_tpu.ops.coil import rss_complex
 from cinemri_tpu.ops.fft import fft1c_alt, ifft1c, ifft2c
 from cinemri_tpu.ops.pad import pad_for_mwcnn, unpad_from_mwcnn
 from cinemri_tpu.physics.lowfreq import center_band, mask_center_band
-from cinemri_tpu.physics.operators import apply_mask, sens_expand, sens_reduce
+from cinemri_tpu.physics.operators import (
+    apply_mask,
+    is_line_mask,
+    masked_normal_kernel,
+    normal_plus_lambda_kernel,
+    sens_expand,
+    sens_reduce,
+)
 
 __all__ = ["XPDNet", "XPDNetBlock", "XPDNetSensitivityModel"]
 
@@ -176,10 +183,9 @@ class XPDNetBlock(nn.Module):
         # residual: temporal mean of the first n_primal buffer channels
         return out + mean[..., : self.n_primal]
 
-    def _i_step(self, image_buffer, kspace_buffer, mask, sens_maps):
-        """image-domain correction (xpdnet.py:406-446)."""
-        head = kspace_buffer[..., 0]
-        bwd = sens_reduce(apply_mask(head, mask), sens_maps)[:, :, 0]  # (b, t, h, w)
+    def _i_step(self, image_buffer, bwd):
+        """image-domain correction (xpdnet.py:406-446); ``bwd`` is the
+        backward-operator image (b, t, h, w)."""
         buf = cconcat([image_buffer, bwd[..., None]], axis=-1)
 
         if self.dynamic_type in ("XF", "XT"):
@@ -195,12 +201,26 @@ class XPDNetBlock(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, carry, ref_kspace, mask, sens_maps):
+    def __call__(self, carry, ref_kspace, mask, sens_maps, x_ref, dc_kernel):
         image_buffer, kspace_buffer = carry
-        kspace_buffer = self._k_step(
-            image_buffer, kspace_buffer, ref_kspace, mask, sens_maps
-        )
-        image_buffer = self._i_step(image_buffer, kspace_buffer, mask, sens_maps)
+        if dc_kernel is not None and self.primal_only:
+            # measurements-residual K-step + backward op collapsed:
+            # S^H F⁻¹ m (F S head − k_ref) = N(head) − x_ref — one h-axis
+            # matmul, no per-cascade DFTs (physics.soft_dc_image_kernel
+            # derivation); the k buffer is dead in this mode and rides the
+            # carry unchanged.
+            head = image_buffer[..., 0][:, :, None]
+            bwd = (
+                normal_plus_lambda_kernel(head, dc_kernel, sens_maps, 0.0) - x_ref
+            )[:, :, 0]
+        else:
+            kspace_buffer = self._k_step(
+                image_buffer, kspace_buffer, ref_kspace, mask, sens_maps
+            )
+            bwd = sens_reduce(
+                apply_mask(kspace_buffer[..., 0], mask), sens_maps
+            )[:, :, 0]
+        image_buffer = self._i_step(image_buffer, bwd)
         return (image_buffer, kspace_buffer), None
 
 
@@ -223,6 +243,7 @@ class XPDNet(nn.Module):
     weight_sharing: bool = False
     remat: bool = True
     plane_axis: str = ""  # sequence-parallel mesh axis for XT/XF planes
+    kernel_dc: bool = True  # see VarNet.kernel_dc (primal_only mode only)
 
     @nn.compact
     def __call__(self, masked_kspace: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -235,17 +256,21 @@ class XPDNet(nn.Module):
             self.sens_chans, self.sens_pools, name="sens_net"
         )(masked_kspace, mask)
 
-        image = sens_reduce(masked_kspace, sens_maps)[:, :, 0]  # (b, t, h, w)
+        x_ref = sens_reduce(masked_kspace, sens_maps)  # (b, t, 1, h, w)
+        image = x_ref[:, :, 0]
         k_buf_size = 1 if self.primal_only else self.n_dual
         image_buffer = crepeat(image[..., None], self.n_primal, axis=-1)
         kspace_buffer = crepeat(masked_kspace[..., None], k_buf_size, axis=-1)
+
+        use_kernel = self.kernel_dc and self.primal_only and is_line_mask(mask)
+        dc_kernel = masked_normal_kernel(mask) if use_kernel else None
 
         block = nn.remat(XPDNetBlock) if self.remat else XPDNetBlock
         scan = nn.scan(
             block,
             variable_axes={"params": 0},  # per-cascade nets (xpdnet.py:263-273)
             split_rngs={"params": True},
-            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+            in_axes=(nn.broadcast,) * 5,
             length=self.num_cascades,
         )
         (image_buffer, _), _ = scan(
@@ -262,6 +287,13 @@ class XPDNet(nn.Module):
             weight_sharing=self.weight_sharing,
             plane_axis=self.plane_axis,
             name="cascades",
-        )((image_buffer, kspace_buffer), masked_kspace, mask, sens_maps)
+        )(
+            (image_buffer, kspace_buffer),
+            masked_kspace,
+            mask,
+            sens_maps,
+            x_ref if use_kernel else None,
+            dc_kernel,
+        )
 
         return image_buffer[..., 0].abs()

@@ -31,6 +31,8 @@ __all__ = [
     "is_line_mask",
     "masked_normal_kernel",
     "normal_plus_lambda_kernel",
+    "coil_weight",
+    "soft_dc_image_kernel",
 ]
 
 COIL_AXIS = 2
@@ -123,6 +125,51 @@ def masked_normal_kernel(mask: jnp.ndarray, norm: str = "ortho") -> Complex:
     t2 = mm(wii, ai)
     t3 = mm(wir + wii, ar + ai)
     return Complex(t1 - t2, t3 - t1 - t2)
+
+
+def coil_weight(sens_maps) -> jnp.ndarray:
+    """``R0 = Σ_c |S_c|²`` — real array (b, 1, 1, h, w).
+
+    Exactly 1 when the maps are RSS-normalized (as both sensitivity models
+    and ESPIRiT maps are), but kept explicit so
+    :func:`soft_dc_image_kernel` is exact for arbitrary maps.
+    """
+    s = _c(sens_maps)
+    return (s.re * s.re + s.im * s.im).sum(axis=COIL_AXIS, keepdims=True)
+
+
+def soft_dc_image_kernel(
+    model_out, x_ref, kernel: Complex, sens_maps, v, rss_sq: jnp.ndarray | None = None
+) -> Complex:
+    """The VarNet cascade's k-space round trip collapsed into image space.
+
+    The reference block (varnet.py:244-282) computes
+    ``sens_reduce(soft_dc(sens_expand(z), k_ref, m, v))`` — a full 2-D FFT
+    pair over every coil per cascade. Because ``k_pred`` enters the next
+    cascade ONLY through ``sens_reduce``, and soft DC is affine in
+    ``F·S·z``, the whole leg is algebraically
+
+        ``R0 ⊙ z − α·N(z) + α·x_ref``,   α = v/(1+v),
+
+    where ``N`` is the masked normal operator (one h-axis MXU matmul via
+    :func:`masked_normal_kernel` for Cartesian line masks), ``R0 = Σ|S_c|²``
+    and ``x_ref = sens_reduce(masked_kspace)`` — using ``m ⊙ k_ref = k_ref``
+    (the reference k-space is already masked) and ``FᴴF = Id``. Exact to
+    f32 rounding (tested against the direct path); no per-cascade DFTs.
+
+    Args:
+        model_out: regularizer output, Complex (b, t, 1, h, w).
+        x_ref: zero-filled reference image, Complex (b, t, 1, h, w).
+        kernel: from :func:`masked_normal_kernel`.
+        v: softplus(λ) data-consistency weight (scalar).
+        rss_sq: optional precomputed :func:`coil_weight`.
+    """
+    z = _c(model_out)
+    if rss_sq is None:
+        rss_sq = coil_weight(sens_maps)
+    alpha = v / (1 + v)
+    n = normal_plus_lambda_kernel(z, kernel, sens_maps, 0.0)
+    return z * rss_sq - alpha * n + alpha * _c(x_ref)
 
 
 def normal_plus_lambda_kernel(x, kernel: Complex, sens_maps, lam) -> Complex:

@@ -213,6 +213,32 @@ class TestRobustness:
             rtol=1e-4, atol=1e-4,
         )
 
+    @pytest.mark.parametrize(
+        "family,dyn", [("varnet", "XF"), ("varnet", "2D"), ("varnet", "3D"),
+                       ("varnet", "CRNN"), ("xpdnet", "XF"), ("xpdnet", "CRNN")]
+    )
+    def test_image_space_dc_collapse_single_cascade(self, family, dyn, batch):
+        """physics.soft_dc_image_kernel: one cascade of the image-space
+        collapsed DC must match the direct k-space round trip to f32
+        rounding. (One cascade deliberately: across MULTIPLE cascades the
+        XF/2D NormUnets divide by small-group stds, which chaotically
+        amplifies the ~1e-7 per-cascade rounding difference — both paths
+        are equally valid numerics, certified at the trained-metric level
+        by bench/parity_head_to_head.py on the default kernel path.)"""
+        kwargs = dict(
+            (CRNN_SMALL[family] if dyn == "CRNN" else SMALL[family]),
+            num_cascades=1,
+        )
+        k, m, _ = batch
+        fast = build_model(family, dyn, kernel_dc=True, **kwargs)
+        slow = build_model(family, dyn, kernel_dc=False, **kwargs)
+        p = fast.init(jax.random.PRNGKey(0), k, m)
+        np.testing.assert_allclose(
+            np.asarray(fast.apply(p, k, m)),
+            np.asarray(slow.apply(p, k, m)),
+            rtol=1e-4, atol=1e-5,
+        )
+
     def test_remat_matches_no_remat(self, batch):
         """Rematerialized cascades must be numerically identical."""
         k, m, _ = batch

@@ -150,7 +150,7 @@ class TestModelParity:
 
         fvn = build_model(
             "varnet", dynamic_type, num_cascades=2, sens_chans=4, sens_pools=2,
-            chans=4, pools=2,
+            chans=4, pools=2, kernel_dc=False,  # torch computes the direct form
         )
         params = self._varnet_params(tvn, 2, dynamic_type)
         got = np.asarray(fvn.apply(params, from_complex(masked), jnp.asarray(mask)))
@@ -194,7 +194,7 @@ class TestModelParity:
                 want = tvr(tr.to_torch_complex6(masked), tr.mask_to_torch(mask)).numpy()
 
         fvr = build_model("varnet", "CRNN", num_cascades=2, sens_chans=4,
-                          sens_pools=2, chans=6)
+                          sens_pools=2, chans=6, kernel_dc=False)
         params = {
             "params": {
                 "sens_net": tr.sens_model_params(tvr.sens_net),
@@ -235,6 +235,7 @@ class TestXPDNetParity:
             "xpdnet", "XF", num_cascades=2, sens_chans=4, sens_pools=2,
             n_scales=2, n_filters_per_scale=(4, 8), n_convs_per_scale=(2, 2),
             n_first_convs=1, first_conv_n_filters=6, n_primal=3,
+            kernel_dc=False,  # torch computes the direct form
         )
 
         # per-cascade torch MWCNN pairs -> stacked flax params (scan axis 0)
@@ -301,7 +302,7 @@ class TestRecurrentParity:
 
         fxr = build_model(
             "xpdnet", "CRNN", num_cascades=2, sens_chans=4, sens_pools=2,
-            chans=6, n_primal=3,
+            chans=6, n_primal=3, kernel_dc=False,
         )
         params = {
             "params": {
@@ -379,7 +380,7 @@ class TestWeightSharingParity:
 
         fvn = build_model(
             "varnet", "XF", num_cascades=2, sens_chans=4, sens_pools=2,
-            chans=4, pools=2, weight_sharing=True,
+            chans=4, pools=2, weight_sharing=True, kernel_dc=False,
         )
         lam = np.asarray(
             [blk.lambda_reg.detach().numpy()[0] for blk in tvn.cascades], np.float32

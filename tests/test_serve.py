@@ -68,3 +68,25 @@ class TestSerialBatch:
             unit = jax.tree.map(lambda a, i=i: a[i : i + 1], kb)
             want = np.asarray(jax.jit(fwd)(unit, mb[i : i + 1]))
             np.testing.assert_allclose(got[i : i + 1], want, rtol=1e-4, atol=1e-5)
+
+
+class TestCineNetExport:
+    def test_export_with_sens_maps(self, tmp_path):
+        """CineNet-style export closes over (k, mask, sens) signatures."""
+        rng = np.random.default_rng(3)
+        k = (rng.standard_normal((1, 3, 2, 16, 16)) + 1j * rng.standard_normal((1, 3, 2, 16, 16))).astype(np.complex64)
+        m = np.zeros((1, 3, 1, 16, 1), np.float32)
+        m[:, :, :, 6:10] = 1
+        m[:, :, :, 2] = 1
+        sens = (rng.standard_normal((1, 1, 2, 16, 16)) + 1j * rng.standard_normal((1, 1, 2, 16, 16))).astype(np.complex64)
+        sens /= np.sqrt((np.abs(sens) ** 2).sum(2, keepdims=True))
+
+        model = build_model("cinenet", "XF", num_cascades=1, cg_iters=2, chans=4, pools=2)
+        km, mask, sm = from_complex(k * m), jnp.asarray(m), from_complex(sens)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), km, mask, sm)
+        want = np.asarray(jax.jit(model.apply)(params, km, mask, sm))
+
+        blob = export_model(model, params, km, mask, sens_maps=sm)
+        fn = load_exported(blob)
+        got = np.asarray(fn(km.re, km.im, mask, sm.re, sm.im))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
