@@ -2,30 +2,33 @@
 framework, trained side by side on identical data, masks, initial weights,
 and optimizer schedule; reports ΔSSIM / ΔNMSE on a held-out volume.
 
-Protocol (the reduced form of the reference's own training protocol):
-  * VarNet-XF, 4 cascades, chans 8, pools 2, sens 4/2 — the flagship family
-    at a CPU-tractable size (reference defaults: train_test_varnet.py:249-262).
+Protocol (the reduced form of the reference's own training protocol), per
+model family (``--family varnet|cinenet|xpdnet``, XF dynamic type):
+  * CPU-tractable sizes of the reference defaults
+    (train_test_varnet.py:249-262 and the cinenet/xpdnet set_defaults).
   * 3 synthetic beating-phantom training volumes + 1 held-out test volume
     (8 frames x 4 coils x 64x64), targets synthesized from the true coil
     maps exactly as the reference does from ESPIRiT maps
-    (mri_data.py:302-303).
+    (mri_data.py:302-303); CineNet receives the true maps as its input
+    sensitivity maps on both sides (transforms.py:425-432 role).
   * random Cartesian masks @4x with 8 center lines, drawn per (epoch,
     volume) from fixed seeds and fed as the SAME numpy arrays to both sides
     (the reference's per-epoch random masking, transforms.py:327-330).
   * SSIM training loss with the reference's quirks (per-frame data_range
     from the target max — losses.py:34 overwrites the passed value), Adam
-    lr=1e-4 (varnet_module.py:151-159; StepLR(140) never fires at 30
-    epochs), batch 1, fixed volume order on both sides.
-  * both models start from the SAME weights: the torch model's
-    reset_parameters() init is ported into the flax parameter tree with the
-    test-suite's weight movers.
+    lr=1e-4 (varnet_module.py:151-159; StepLR(140) never fires), batch 1,
+    fixed volume order on both sides.
+  * both models start from the SAME weights: the torch init is ported into
+    the flax parameter tree with the test-suite's weight movers.
   * eval: SSIM/NMSE via this repo's skimage-parity metrics
     (utils/evaluate.py:25-42 semantics), same fixed test mask on both sides.
 
 The torch side drives the reference's own modules (read-only import with
 BART stubbed and the hardcoded ``.to('cuda')`` in losses.py:34 routed to
 CPU); nothing is reimplemented on that side, so its numbers ARE the
-reference's. Usage: python bench/parity_head_to_head.py [--epochs 30]
+reference's. The framework side runs its DEFAULT compute path (including
+the kernelized data consistency) on the available accelerator.
+Usage: python bench/parity_head_to_head.py [--epochs 30] [--family varnet]
 """
 
 import argparse
@@ -44,7 +47,16 @@ T, C, H, W = 8, 4, 64, 64
 TRAIN_SEEDS = (0, 1, 2)
 TEST_SEED = 3
 TEST_MASK_SEED = 424242
-MODEL_KW = dict(num_cascades=4, sens_chans=4, sens_pools=2, chans=8, pools=2)
+
+MODEL_KW = {
+    "varnet": dict(num_cascades=4, sens_chans=4, sens_pools=2, chans=8, pools=2),
+    "cinenet": dict(num_cascades=4, cg_iters=4, chans=8, pools=2),
+    "xpdnet": dict(
+        num_cascades=3, sens_chans=4, sens_pools=2, n_scales=2,
+        n_filters_per_scale=(8, 16), n_convs_per_scale=(2, 2),
+        n_first_convs=1, first_conv_n_filters=8, n_primal=3,
+    ),
+}
 
 
 def make_volumes():
@@ -61,7 +73,8 @@ def make_volumes():
         target = np.abs((imgs * np.conj(v["sens"][None])).sum(axis=1)).astype(
             np.float32
         )
-        return v["kspace"][None], target[None]  # batch of 1
+        sens = v["sens"][None, None].astype(np.complex64)  # (1, 1, c, h, w)
+        return v["kspace"][None], target[None], sens
 
     return [vol(s) for s in TRAIN_SEEDS], vol(TEST_SEED)
 
@@ -82,12 +95,15 @@ def make_masks(epochs):
 
 
 class _cpu_to:
-    """Route the reference's hardcoded ``.to('cuda')`` (losses.py:34) to CPU."""
+    """Route the reference's hardcoded CUDA placements to CPU:
+    ``.to('cuda')`` (losses.py:34) and ``.cuda()`` (mwcnn.py:257,
+    recurrent_varnet.py:112,236)."""
 
     def __enter__(self):
         import torch
 
         self._orig = torch.Tensor.to
+        self._orig_cuda = torch.Tensor.cuda
 
         def to(tensor, *args, **kwargs):
             args = tuple("cpu" if a == "cuda" else a for a in args)
@@ -96,47 +112,102 @@ class _cpu_to:
             return self._orig(tensor, *args, **kwargs)
 
         torch.Tensor.to = to
+        torch.Tensor.cuda = lambda tensor, *a, **k: tensor
         return self
 
     def __exit__(self, *exc):
         import torch
 
         torch.Tensor.to = self._orig
+        torch.Tensor.cuda = self._orig_cuda
         return False
 
 
-def port_initial_params(torch_model):
-    """Snapshot the torch model's CURRENT weights as a flax parameter tree
-    (must run before the reference trains, so both sides share the init)."""
-    import _torch_ref as tr
-
-    cascades = {
-        "net_xf": tr.norm_unet_params(torch_model.model[0]),
-        "net_yf": tr.norm_unet_params(torch_model.model[1]),
-    }
-    lam = np.asarray(
-        [blk.lambda_reg.detach().numpy()[0] for blk in torch_model.cascades],
-        np.float32,
-    )
-    return {
-        "params": {
-            "sens_net": tr.sens_model_params(torch_model.sens_net),
-            "cascades": cascades,
-            "lambda_reg": lam,
-        }
-    }
-
-
-def run_reference(train, test, train_masks, test_mask, epochs):
+def build_torch_model(family):
     import torch
     import _torch_ref as tr
 
     ref = tr.load_reference()
+    torch.manual_seed(42)
+    kw = MODEL_KW[family]
+    if family == "varnet":
+        return ref.varnet.VarNet(dynamic_type="XF", **kw)
+    if family == "cinenet":
+        return ref.cinenet.CineNet(
+            num_cascades=kw["num_cascades"], CG_iters=kw["cg_iters"],
+            chans=kw["chans"], pools=kw["pools"], dynamic_type="XF",
+        )
+    return ref.xpdnet.XPDNet(
+        num_cascades=kw["num_cascades"], sens_chans=kw["sens_chans"],
+        sens_pools=kw["sens_pools"], n_scales=kw["n_scales"],
+        n_filters_per_scale=list(kw["n_filters_per_scale"]),
+        n_convs_per_scale=list(kw["n_convs_per_scale"]),
+        n_first_convs=kw["n_first_convs"],
+        first_conv_n_filters=kw["first_conv_n_filters"],
+        n_primal=kw["n_primal"], dynamic_type="XF",
+    )
+
+
+def port_initial_params(family, tm):
+    """Snapshot the torch model's CURRENT weights as a flax parameter tree
+    (must run before the reference trains, so both sides share the init)."""
+    import jax
+    import _torch_ref as tr
+
+    if family == "varnet":
+        cascades = {
+            "net_xf": tr.norm_unet_params(tm.model[0]),
+            "net_yf": tr.norm_unet_params(tm.model[1]),
+        }
+        lam = np.asarray(
+            [blk.lambda_reg.detach().numpy()[0] for blk in tm.cascades], np.float32
+        )
+        return {
+            "params": {
+                "sens_net": tr.sens_model_params(tm.sens_net),
+                "cascades": cascades,
+                "lambda_reg": lam,
+            }
+        }
+    if family == "cinenet":
+        cascades = {
+            "net_xf": tr.unet_params(tm.model[0]),
+            "net_yf": tr.unet_params(tm.model[1]),
+        }
+        lam = np.asarray(
+            [blk.lambda_reg.detach().numpy()[0] for blk in tm.cascades], np.float32
+        )
+        return {"params": {"cascades": cascades, "lambda_reg": lam}}
+    # xpdnet: per-cascade MWCNN pairs stacked on the scan axis
+    n = MODEL_KW["xpdnet"]["num_cascades"]
+    per_cascade = [
+        {
+            "image_net_xf": tr.mwcnn_params(tm.image_net[i][0]),
+            "image_net_yf": tr.mwcnn_params(tm.image_net[i][1]),
+        }
+        for i in range(n)
+    ]
+    stacked = jax.tree.map(lambda *xs: np.stack(xs), *per_cascade)
+    sens = {"Unet_0": tr.unet_params(tm.sens_net.unet_model)}
+    return {"params": {"sens_net": sens, "cascades": stacked}}
+
+
+def torch_inputs(family, tr, k, m, sens):
+    kt = tr.to_torch_complex6(k * m)
+    if family == "cinenet":
+        return (kt, tr.mask_to_torch(m).float(), tr.to_torch_complex6(sens))
+    return (kt, tr.mask_to_torch(m))
+
+
+def run_reference(family, train, test, train_masks, test_mask, epochs):
+    import torch
+    import _torch_ref as tr
+
+    tr.load_reference()
     from reconstruction.utils.losses import SSIMLoss
 
-    torch.manual_seed(42)
-    model = ref.varnet.VarNet(dynamic_type="XF", **MODEL_KW)
-    init_params = port_initial_params(model)
+    model = build_torch_model(family)
+    init_params = port_initial_params(family, model)
     loss_fn = SSIMLoss()
     opt = torch.optim.Adam(model.parameters(), lr=1e-4, weight_decay=0.0)
 
@@ -144,13 +215,11 @@ def run_reference(train, test, train_masks, test_mask, epochs):
     with _cpu_to():
         for e in range(epochs):
             tot = 0.0
-            for v, (k, target) in enumerate(train):
+            for v, (k, target, sens) in enumerate(train):
                 m = train_masks[e][v]
-                kt = tr.to_torch_complex6(k * m)
-                mt = tr.mask_to_torch(m)
                 tt = torch.from_numpy(target)
                 opt.zero_grad()
-                out = model(kt, mt)
+                out = model(*torch_inputs(family, tr, k, m, sens))
                 loss = loss_fn(
                     out.unsqueeze(1), tt.unsqueeze(1),
                     data_range=torch.tensor([float(target.max())]),
@@ -160,15 +229,13 @@ def run_reference(train, test, train_masks, test_mask, epochs):
                 tot += float(loss.detach())
             losses.append(tot / len(train))
 
-        k, target = test
+        k, target, sens = test
         with torch.no_grad():
-            out = model(
-                tr.to_torch_complex6(k * test_mask), tr.mask_to_torch(test_mask)
-            ).numpy()
+            out = model(*torch_inputs(family, tr, k, test_mask, sens)).numpy()
     return init_params, out[0], target[0], losses
 
 
-def run_framework(params, train, test, train_masks, test_mask, epochs):
+def run_framework(family, params, train, test, train_masks, test_mask, epochs):
     import jax
     import jax.numpy as jnp
     import optax
@@ -178,14 +245,20 @@ def run_framework(params, train, test, train_masks, test_mask, epochs):
     from cinemri_tpu.ops.ssim import ssim_loss
     from cinemri_tpu.train import make_optimizer
 
-    model = build_model("varnet", "XF", **MODEL_KW)
+    model = build_model(family, "XF", **MODEL_KW[family])
     tx = make_optimizer(lr=1e-4, lr_step_size=10**6, steps_per_epoch=1)
     opt_state = tx.init(params)
 
+    def inputs(k, m, sens):
+        args = [from_complex(k * m), jnp.asarray(m)]
+        if family == "cinenet":
+            args.append(from_complex(sens))
+        return tuple(args)
+
     @jax.jit
-    def step(params, opt_state, kb, mb, tb):
+    def step(params, opt_state, args, tb):
         def loss_fn(p):
-            out = model.apply(p, kb, mb)
+            out = model.apply(p, *args)
             return ssim_loss(out, tb)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -195,23 +268,20 @@ def run_framework(params, train, test, train_masks, test_mask, epochs):
     losses = []
     for e in range(epochs):
         tot = 0.0
-        for v, (k, target) in enumerate(train):
+        for v, (k, target, sens) in enumerate(train):
             m = train_masks[e][v]
             params, opt_state, loss = step(
-                params, opt_state, from_complex(k * m), jnp.asarray(m),
-                jnp.asarray(target),
+                params, opt_state, inputs(k, m, sens), jnp.asarray(target)
             )
             tot += float(loss)
         losses.append(tot / len(train))
 
-    k, target = test
-    out = np.asarray(
-        jax.jit(model.apply)(params, from_complex(k * test_mask), jnp.asarray(test_mask))
-    )
+    k, target, sens = test
+    out = np.asarray(jax.jit(model.apply)(params, *inputs(k, test_mask, sens)))
     return out[0], target[0], losses
 
 
-def main(epochs: int = 30):
+def main(epochs: int = 30, family: str = "varnet"):
     from cinemri_tpu.ops import metrics as M
 
     train, test = make_volumes()
@@ -219,13 +289,13 @@ def main(epochs: int = 30):
 
     t0 = time.perf_counter()
     init_params, out_ref, target, ref_losses = run_reference(
-        train, test, train_masks, test_mask, epochs
+        family, train, test, train_masks, test_mask, epochs
     )
     ref_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     out_jax, _, jax_losses = run_framework(
-        init_params, train, test, train_masks, test_mask, epochs
+        family, init_params, train, test, train_masks, test_mask, epochs
     )
     jax_s = time.perf_counter() - t0
 
@@ -237,6 +307,7 @@ def main(epochs: int = 30):
     print(
         json.dumps(
             {
+                "family": family,
                 "epochs": epochs,
                 "ssim_reference": round(float(ssim_ref), 5),
                 "ssim_framework": round(float(ssim_jax), 5),
@@ -256,4 +327,7 @@ def main(epochs: int = 30):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=30)
-    main(ap.parse_args().epochs)
+    ap.add_argument("--family", default="varnet",
+                    choices=("varnet", "cinenet", "xpdnet"))
+    a = ap.parse_args()
+    main(a.epochs, a.family)

@@ -78,7 +78,11 @@ class TestDataParallelTraining:
         l1 = jax.tree.leaves(s1.params)
         l2 = jax.tree.leaves(s2.params)
         for a, b in zip(l1, l2):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+            # atol floor: the sharded gradient sum rounds in a different
+            # order than the single-device one, and Adam's g/sqrt(v)
+            # normalization inflates the RELATIVE difference wherever a
+            # gradient entry is ~0 (observed: 1/576 elements at ~5e-6 abs)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
     def test_multi_step_training_on_mesh(self, rng):
         mesh = make_mesh()
