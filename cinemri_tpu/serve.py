@@ -86,26 +86,44 @@ def export_model(
     example_mask: jnp.ndarray,
     path: Optional[Union[str, Path]] = None,
     sens_maps: Optional[Complex] = None,
+    serial: bool = False,
 ) -> bytes:
     """Export a weight-bound forward to a serialized StableHLO artifact.
 
     The weights are closed over (baked into the artifact); the exported
     callable's signature is ``(kspace_re, kspace_im, mask) -> image`` —
     plus ``(sens_re, sens_im)`` for CineNet-style models.
+
+    ``serial=True`` wraps the forward in :func:`serial_batch` before
+    exporting, so a batch-n example produces an artifact that reconstructs
+    its volumes sequentially on device — the mode that wins at every batch
+    size on the v5e (BASELINE.md "Serving modes").
     """
     register_complex_serialization()
     from jax import export
 
+    apply_fn = model.apply
+
     if sens_maps is None:
 
+        def unit(k, mask):
+            return apply_fn(params, k, mask)
+
+        wrapped = serial_batch(unit) if serial else unit
+
         def fn(kre, kim, mask):
-            return model.apply(params, Complex(kre, kim), mask)
+            return wrapped(Complex(kre, kim), mask)
 
         args = (example_kspace.re, example_kspace.im, example_mask)
     else:
 
+        def unit(k, mask, s):
+            return apply_fn(params, k, mask, s)
+
+        wrapped = serial_batch(unit) if serial else unit
+
         def fn(kre, kim, mask, sre, sim):
-            return model.apply(params, Complex(kre, kim), mask, Complex(sre, sim))
+            return wrapped(Complex(kre, kim), mask, Complex(sre, sim))
 
         args = (
             example_kspace.re,

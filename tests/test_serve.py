@@ -90,3 +90,24 @@ class TestCineNetExport:
         fn = load_exported(blob)
         got = np.asarray(fn(km.re, km.im, mask, sm.re, sm.im))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+class TestSerialExport:
+    def test_serial_batched_artifact(self, setup):
+        """serial=True exports a batch-n artifact that matches n per-volume
+        forwards (the lax.map program is baked into the StableHLO)."""
+        from cinemri_tpu.serve import serial_batch
+
+        model, params, km, mask = setup
+        n = 2
+        kb = jax.tree.map(lambda a: jnp.concatenate([a, a * 0.5]), km)
+        mb = jnp.concatenate([mask] * n)
+        blob = export_model(model, params, kb, mb, serial=True)
+        fn = load_exported(blob)
+        got = np.asarray(fn(kb.re, kb.im, mb))
+        for i in range(n):
+            unit = jax.tree.map(lambda a, i=i: a[i : i + 1], kb)
+            want = np.asarray(
+                jax.jit(lambda u, m: model.apply(params, u, m))(unit, mb[i : i + 1])
+            )
+            np.testing.assert_allclose(got[i : i + 1], want, rtol=1e-4, atol=1e-5)
