@@ -9,6 +9,8 @@ from cinemri_tpu.physics.operators import (
     is_line_mask,
     masked_normal_kernel,
     normal_plus_lambda_kernel,
+    coil_weight,
+    soft_dc_image_kernel,
 )
 from cinemri_tpu.physics.cg import conj_grad
 from cinemri_tpu.physics.lowfreq import (
@@ -26,6 +28,8 @@ __all__ = [
     "is_line_mask",
     "masked_normal_kernel",
     "normal_plus_lambda_kernel",
+    "coil_weight",
+    "soft_dc_image_kernel",
     "conj_grad",
     "center_band",
     "mask_center_band",

@@ -194,3 +194,23 @@ class TestLowFreq:
             return pad + nl
 
         assert np.isfinite(float(f(mask)))
+
+
+class TestSoftDCImageKernel:
+    def test_matches_direct_round_trip(self, rng):
+        """R0*z - a*N(z) + a*x_ref == sens_reduce(soft_dc(sens_expand(z)))
+        for both per-frame and broadcast (equispaced-style) line masks."""
+        image, kspace, sens, mask = _setup(rng)
+        for m in (mask, mask[:, :1]):
+            k_ref = physics.apply_mask(kspace, m)
+            v = jnp.asarray(0.7)
+            direct = physics.sens_reduce(
+                physics.soft_dc(physics.sens_expand(image, sens), k_ref, m, v),
+                sens,
+            )
+            kern = physics.masked_normal_kernel(m)
+            x_ref = physics.sens_reduce(k_ref, sens)
+            fast = physics.soft_dc_image_kernel(image, x_ref, kern, sens, v)
+            np.testing.assert_allclose(
+                to_numpy(fast), to_numpy(direct), rtol=1e-4, atol=1e-4
+            )
