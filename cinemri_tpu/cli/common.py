@@ -62,12 +62,18 @@ def build_parser(family: str) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=f"Train/test dynamic {family} on TPU")
 
     # basic args (train_test_varnet.py:158-205)
-    p.add_argument("--mode", default="train", choices=("train", "test"))
+    p.add_argument("--mode", default="train", choices=("train", "test", "export"))
     p.add_argument("--epochs", default=150, type=int)
     p.add_argument("--save_checkpoint", default=0, choices=(0, 1), type=int)
     p.add_argument("--resume_training", default=0, choices=(0, 1), type=int)
     p.add_argument("--load_model", default=0, choices=(0, 1), type=int)
     p.add_argument("--inference", default=1, choices=(0, 1), type=int)
+    # --mode export: write a weight-baked StableHLO serving artifact
+    # (serve.export_model) shaped like the first test batch
+    p.add_argument("--export_path", default=None, type=str,
+                   help="output artifact path (default save_path/<family>_<dynamic>.stablehlo)")
+    p.add_argument("--serial_export", default=0, choices=(0, 1), type=int,
+                   help="bake serve.serial_batch into the artifact (batch>1 serving)")
 
     # mask args (train_test_varnet.py:208-229)
     p.add_argument("--mask_type", default="random", choices=("random", "equispaced"))
@@ -344,4 +350,30 @@ def train_test_main(family: str, argv=None) -> Dict:
                 total += runner(batch)
             print(f"Elapsed time: {total} seconds.")
             results["inference_seconds"] = total
+    elif args.mode == "export":
+        import jax.numpy as jnp
+
+        from cinemri_tpu.ops.cplx import from_complex
+        from cinemri_tpu.serve import export_model
+
+        first = trainer.test_loader.first_batch()
+        trainer.init_state(first)
+        if args.load_model:
+            trainer.restore_best(first)  # serve the best-val weights
+        km = from_complex(first["masked_kspace"])
+        mask = jnp.asarray(first["mask"])
+        sens = (
+            from_complex(first["sens_maps"]) if family == "cinenet" else None
+        )
+        out_path = Path(
+            args.export_path
+            or save_path / f"{family}_{args.dynamic_type}.stablehlo"
+        )
+        out_path.parent.mkdir(parents=True, exist_ok=True)
+        export_model(
+            model, trainer.state.params, km, mask,
+            path=out_path, sens_maps=sens, serial=bool(args.serial_export),
+        )
+        print(f"Exported serving artifact to {out_path}")
+        results["export_path"] = str(out_path)
     return results

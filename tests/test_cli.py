@@ -255,3 +255,39 @@ class TestDistributedCLI:
     def test_num_devices_exceeding_visible_raises(self, workdir8):
         with pytest.raises(ValueError, match="devices visible"):
             self._run(workdir8, "toobig", ["--num_devices", "99"])
+
+
+class TestExportMode:
+    def test_export_writes_loadable_artifact(self, workdir):
+        """--mode export writes a StableHLO artifact the serving loader can
+        run without the model code (beyond-reference deployment path)."""
+        from cinemri_tpu.serve import load_exported
+
+        common = TINY_ARGS + [
+            "--path_config", str(workdir / "dirs_path.yaml"),
+            "--maps_cache_dir", str(workdir / "maps"),
+            "--chans", "4",
+            "--sens_chans", "4", "--sens_pools", "2", "--pools", "2",
+            "--dynamic_type", "XF",
+        ]
+        out = train_test_main(
+            "varnet", common + ["--mode", "export", "--load_model", "1"]
+        )
+        path = Path(out["export_path"])
+        assert path.exists() and path.stat().st_size > 1000
+
+        fn = load_exported(path)
+        import numpy as np
+        from cinemri_tpu.data import RandomMask, SliceDataset, VarNetDataTransform
+        import yaml
+        cfg = yaml.safe_load(open(workdir / "dirs_path.yaml"))
+        ds = SliceDataset(
+            Path(cfg["data_path"]) / "test",
+            transform=VarNetDataTransform(RandomMask([6], [2]), use_seed=True),
+            maps_cache_dir=workdir / "maps",
+        )
+        s = ds[0]
+        k = s["masked_kspace"][None]
+        m = s["mask"][None].astype(np.float32)
+        img = np.asarray(fn(k.real, k.imag, m))
+        assert img.shape[0] == 1 and np.isfinite(img).all()
