@@ -291,3 +291,27 @@ class TestExportMode:
         m = s["mask"][None].astype(np.float32)
         img = np.asarray(fn(k.real, k.imag, m))
         assert img.shape[0] == 1 and np.isfinite(img).all()
+
+
+class TestDataArgs:
+    def test_combine_train_val_and_sample_rate(self, workdir):
+        """--combine_train_val merges the train+valid file lists
+        (data_module.py:156-176); sample_rate=1.0 keeps the single
+        volume-per-split fixture non-empty (the reference rounds
+        len*sample_rate, so 0.5 of 1 example is 0 — same semantics here).
+        The run must still train end to end."""
+        out = train_test_main(
+            "varnet",
+            TINY_ARGS
+            + [
+                "--path_config", str(workdir / "dirs_path.yaml"),
+                "--maps_cache_dir", str(workdir / "maps"),
+                "--chans", "4",
+                "--sens_chans", "4", "--sens_pools", "2", "--pools", "2",
+                "--dynamic_type", "XF",
+                "--combine_train_val", "1",
+                "--sample_rate", "1.0",
+                "--mode", "train",
+            ],
+        )
+        assert np.isfinite(out["history"][0]["train_loss"])
