@@ -50,6 +50,7 @@ TEST_MASK_SEED = 424242
 
 MODEL_KW = {
     "varnet": dict(num_cascades=4, sens_chans=4, sens_pools=2, chans=8, pools=2),
+    "varnet_crnn": dict(num_cascades=4, sens_chans=4, sens_pools=2, chans=8),
     "cinenet": dict(num_cascades=4, cg_iters=4, chans=8, pools=2),
     "xpdnet": dict(
         num_cascades=3, sens_chans=4, sens_pools=2, n_scales=2,
@@ -132,6 +133,8 @@ def build_torch_model(family):
     kw = MODEL_KW[family]
     if family == "varnet":
         return ref.varnet.VarNet(dynamic_type="XF", **kw)
+    if family == "varnet_crnn":
+        return ref.recurrent_varnet.VarNet_RNN(**kw)
     if family == "cinenet":
         return ref.cinenet.CineNet(
             num_cascades=kw["num_cascades"], CG_iters=kw["cg_iters"],
@@ -167,6 +170,16 @@ def port_initial_params(family, tm):
                 "sens_net": tr.sens_model_params(tm.sens_net),
                 "cascades": cascades,
                 "lambda_reg": lam,
+            }
+        }
+    if family == "varnet_crnn":
+        return {
+            "params": {
+                "sens_net": tr.sens_model_params(tm.sens_net),
+                "iterations": {
+                    "trunk": tr.crnn_trunk_params(tm),
+                    "lambda_reg": np.float32(tm.lambda_reg.detach().numpy()[0]),
+                },
             }
         }
     if family == "cinenet":
@@ -245,7 +258,10 @@ def run_framework(family, params, train, test, train_masks, test_mask, epochs):
     from cinemri_tpu.ops.ssim import ssim_loss
     from cinemri_tpu.train import make_optimizer
 
-    model = build_model(family, "XF", **MODEL_KW[family])
+    if family == "varnet_crnn":
+        model = build_model("varnet", "CRNN", **MODEL_KW[family])
+    else:
+        model = build_model(family, "XF", **MODEL_KW[family])
     tx = make_optimizer(lr=1e-4, lr_step_size=10**6, steps_per_epoch=1)
     opt_state = tx.init(params)
 
@@ -328,6 +344,6 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--family", default="varnet",
-                    choices=("varnet", "cinenet", "xpdnet"))
+                    choices=("varnet", "varnet_crnn", "cinenet", "xpdnet"))
     a = ap.parse_args()
     main(a.epochs, a.family)
