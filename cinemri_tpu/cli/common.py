@@ -74,6 +74,10 @@ def build_parser(family: str) -> argparse.ArgumentParser:
                    help="output artifact path (default save_path/<family>_<dynamic>.stablehlo)")
     p.add_argument("--serial_export", default=0, choices=(0, 1), type=int,
                    help="bake serve.serial_batch into the artifact (batch>1 serving)")
+    p.add_argument("--kernel_dc", default=1, choices=(0, 1), type=int,
+                   help="precomputed-kernel data consistency (zero per-cascade "
+                        "DFTs, physics.soft_dc_image_kernel); 0 = the "
+                        "reference's direct k-space formulation")
 
     # mask args (train_test_varnet.py:208-229)
     p.add_argument("--mask_type", default="random", choices=("random", "equispaced"))
@@ -188,6 +192,7 @@ def _build_model_from_args(family: str, args) -> object:
                       primal_only=args.primal_only, n_primal=args.n_primal,
                       n_dual=args.n_dual, weight_sharing=args.weight_sharing)
         )
+    kwargs["kernel_dc"] = bool(args.kernel_dc)
     return build_model(family, args.dynamic_type, **kwargs)
 
 

@@ -315,3 +315,19 @@ class TestDataArgs:
             ],
         )
         assert np.isfinite(out["history"][0]["train_loss"])
+
+
+class TestKernelDCFlag:
+    @pytest.mark.parametrize("family", ["varnet", "cinenet", "xpdnet"])
+    def test_kernel_dc_plumbs_to_models(self, family):
+        """--kernel_dc toggles the collapsed-DC path on every model class
+        (default on; 0 restores the reference's k-space formulation)."""
+        from cinemri_tpu.cli.common import _build_model_from_args
+
+        for dyn in ("XF", "CRNN"):
+            a = build_parser(family).parse_args(
+                ["--dynamic_type", dyn, "--kernel_dc", "0"]
+            )
+            assert _build_model_from_args(family, a).kernel_dc is False
+            a = build_parser(family).parse_args(["--dynamic_type", dyn])
+            assert _build_model_from_args(family, a).kernel_dc is True
