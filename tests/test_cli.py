@@ -331,3 +331,23 @@ class TestKernelDCFlag:
             assert _build_model_from_args(family, a).kernel_dc is False
             a = build_parser(family).parse_args(["--dynamic_type", dyn])
             assert _build_model_from_args(family, a).kernel_dc is True
+
+
+class TestCineNetExportMode:
+    def test_cinenet_export_includes_sens_signature(self, workdir):
+        """CineNet export bakes the (k, mask, sens) signature artifact."""
+        from cinemri_tpu.serve import load_exported
+
+        common = TINY_ARGS + [
+            "--path_config", str(workdir / "dirs_path.yaml"),
+            "--maps_cache_dir", str(workdir / "maps"),
+            "--chans", "4", "--pools", "2", "--CG_iters", "2",
+            "--dynamic_type", "2D",
+        ]
+        # train once so a checkpoint exists, then export best
+        train_test_main("cinenet", common + ["--mode", "train", "--save_checkpoint", "1"])
+        out = train_test_main("cinenet", common + ["--mode", "export", "--load_model", "1"])
+        path = Path(out["export_path"])
+        assert path.exists()
+        fn = load_exported(path)  # callable with 5 float-array args
+        assert callable(fn)

@@ -379,3 +379,22 @@ def _device_batch(batch):
     from cinemri_tpu.parallel.mesh import shard_batch
 
     return shard_batch(batch, None)
+
+
+class TestCompileCache:
+    def test_enable_compile_cache_sets_config(self, tmp_path, monkeypatch):
+        import jax
+
+        from cinemri_tpu.utils.compile_cache import enable_compile_cache
+
+        before = jax.config.jax_compilation_cache_dir
+        try:
+            p = enable_compile_cache(tmp_path / "cc")
+            assert p.is_dir()
+            assert jax.config.jax_compilation_cache_dir == str(p)
+            # CINEMRI_COMPILE_CACHE=0 disables without touching config
+            monkeypatch.setenv("CINEMRI_COMPILE_CACHE", "0")
+            enable_compile_cache(tmp_path / "other")
+            assert jax.config.jax_compilation_cache_dir == str(p)
+        finally:
+            jax.config.update("jax_compilation_cache_dir", before)
