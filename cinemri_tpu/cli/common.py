@@ -66,7 +66,10 @@ def build_parser(family: str) -> argparse.ArgumentParser:
     p.add_argument("--epochs", default=150, type=int)
     p.add_argument("--save_checkpoint", default=0, choices=(0, 1), type=int)
     p.add_argument("--resume_training", default=0, choices=(0, 1), type=int)
-    p.add_argument("--load_model", default=0, choices=(0, 1), type=int)
+    # default resolves per mode: 0 for train/test (reference semantics,
+    # train_test_varnet.py:59-67) but 1 for export — exporting freshly
+    # initialized weights is never what a user wants (ADVICE r2)
+    p.add_argument("--load_model", default=None, choices=(0, 1), type=int)
     p.add_argument("--inference", default=1, choices=(0, 1), type=int)
     # --mode export: write a weight-baked StableHLO serving artifact
     # (serve.export_model) shaped like the first test batch
@@ -81,6 +84,12 @@ def build_parser(family: str) -> argparse.ArgumentParser:
 
     # mask args (train_test_varnet.py:208-229)
     p.add_argument("--mask_type", default="random", choices=("random", "equispaced"))
+    p.add_argument(
+        "--use_seed", default=0, choices=(0, 1), type=int,
+        help="Seed each sample's mask from its filename (deterministic "
+             "across epochs/processes); the reference scripts pass False "
+             "(train_test_varnet.py:34-36)",
+    )
     p.add_argument(
         "--center_fractions",
         nargs="+",
@@ -97,6 +106,11 @@ def build_parser(family: str) -> argparse.ArgumentParser:
     p.add_argument("--test_split", default="test", choices=("test", "challenge"))
     p.add_argument("--sample_rate", default=None, type=float)
     p.add_argument("--volume_sample_rate", default=None, type=float)
+    p.add_argument(
+        "--num_cols", nargs="+", default=None, type=int,
+        help="Keep only volumes whose phase-encode width is in this list "
+             "(the reference's mri_data.py:258-261 filter)",
+    )
     _bool = lambda v: str(v).lower() in ("1", "true", "yes")
     p.add_argument("--use_dataset_cache_file", default=True, type=_bool)
     p.add_argument("--combine_train_val", default=False, type=_bool)
@@ -109,8 +123,10 @@ def build_parser(family: str) -> argparse.ArgumentParser:
              "instead of per epoch (reference recomputes each epoch)",
     )
     p.add_argument("--num_workers", default=4, type=int,
-                   help="Prefetch depth of the host input pipeline (the "
-                        "reference's DataLoader worker count analogue)")
+                   help="Decode-thread pool size of the host input pipeline "
+                        "(the reference's DataLoader worker count, "
+                        "data_module.py:196-202); 0 disables prefetch, 1 = "
+                        "serial decode in the prefetch thread")
 
     # parallelism (the reference's --accelerator dp/ddp + --gpus,
     # train_test_varnet.py:286-297): shard the batch over a `data` mesh axis
@@ -121,6 +137,18 @@ def build_parser(family: str) -> argparse.ArgumentParser:
              "--batch_size, so the global batch is batch_size x num_devices "
              "(DDP semantics).",
     )
+    # multi-host (the reference's ddp multi-process backend,
+    # train_test_varnet.py:288-290): launch one process per host with the
+    # same command plus --process_id; jax.distributed.initialize links them
+    p.add_argument(
+        "--num_processes", default=1, type=int,
+        help="Multi-host process count (1 = single process; TPU pods can "
+             "also auto-discover with no coordinator args)",
+    )
+    p.add_argument("--coordinator_address", default=None, type=str,
+                   help="host:port of process 0 for jax.distributed")
+    p.add_argument("--process_id", default=0, type=int,
+                   help="This process's index in [0, num_processes)")
 
     # model args (varnet_module.py:161-239 etc.)
     for k, v in MODEL_DEFAULTS[family].items():
@@ -196,25 +224,61 @@ def _build_model_from_args(family: str, args) -> object:
     return build_model(family, args.dynamic_type, **kwargs)
 
 
+def config_fingerprint(family: str, args) -> str:
+    """Short hash of every model-tree-defining argument.
+
+    Scopes the Orbax checkpoint directory (and is stored inside each
+    checkpoint) so that runs differing in capacity args — chans, cascades,
+    scales, weight sharing — never share a step directory: a shared dir
+    would silently skip saves at lower step numbers and crash restores with
+    a mismatched parameter tree (ADVICE r2).
+    """
+    import hashlib
+
+    keys = sorted(MODEL_DEFAULTS[family]) + ["dynamic_type", "weight_sharing"]
+    src = [(k, getattr(args, k)) for k in keys]
+    return hashlib.sha1(repr(src).encode()).hexdigest()[:8]
+
+
 def train_test_main(family: str, argv=None) -> Dict:
     """The reference's train_test_main (train_test_varnet.py:22-136)."""
     from cinemri_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
     args = build_parser(family).parse_args(argv)
+    if args.load_model is None:
+        args.load_model = 1 if args.mode == "export" else 0
+    elif args.mode == "export" and not args.load_model:
+        import warnings
+
+        warnings.warn(
+            "--mode export with --load_model 0 exports RANDOMLY INITIALIZED "
+            "weights — only useful for artifact-format testing",
+            stacklevel=1,
+        )
 
     data_path = args.data_path or fetch_dir("data_path", args.path_config)
     save_path = fetch_dir("save_path", args.path_config)
     log_root = fetch_dir("log_path", args.path_config) / family / f"{family}_logs"
-    # scope checkpoints per (dynamic_type, acceleration), mirroring the
-    # reference's stamped filename (train_test_varnet.py:270-277) — and
-    # fixing its latent trap: an Orbax step dir shared across configs would
-    # silently skip saves at lower step numbers and then crash the restore
-    # with a mismatched parameter tree
+    # scope checkpoints per (dynamic_type, acceleration, model-config hash),
+    # mirroring the reference's stamped filename
+    # (train_test_varnet.py:270-277) — and fixing its latent trap: an Orbax
+    # step dir shared across configs would silently skip saves at lower
+    # step numbers and then crash the restore with a mismatched tree
+    fingerprint = config_fingerprint(family, args)
     ckpt_dir = (
         log_root
         / "checkpoints"
-        / f"{family}_{args.dynamic_type}_acc{args.accelerations[0]}"
+        / f"{family}_{args.dynamic_type}_acc{args.accelerations[0]}_{fingerprint}"
+    )
+
+    # multi-host first (device queries below must see the global topology)
+    from cinemri_tpu.parallel import initialize as dist_initialize
+
+    dist_initialize(
+        coordinator_address=args.coordinator_address,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
     )
 
     # data-parallel mesh (the reference's dp/ddp backend switch,
@@ -237,13 +301,22 @@ def train_test_main(family: str, argv=None) -> Dict:
     )
     rank, world = process_info()
     global_batch = args.batch_size * n_devices
+    # each process loads its rank's shard of every global batch; the global
+    # array is assembled from the per-process parts (parallel.mesh.shard_batch)
+    if global_batch % world != 0:
+        raise ValueError(
+            f"global batch {global_batch} must divide evenly over "
+            f"{world} processes"
+        )
+    local_batch = global_batch // world
 
     mask_func = create_mask_for_mask_type(
         args.mask_type, args.center_fractions, args.accelerations
     )
-    transform_kwargs = {"mask_func": mask_func, "use_seed": False}
+    transform_kwargs = {"mask_func": mask_func, "use_seed": bool(args.use_seed)}
     if family == "cinenet":
         transform_kwargs["cache_maps"] = bool(args.cache_sens_maps)
+        transform_kwargs["maps_cache_dir"] = args.maps_cache_dir
     transform = TRANSFORMS[family](**transform_kwargs)
 
     def make_loader(split, shuffle):
@@ -263,6 +336,7 @@ def train_test_main(family: str, argv=None) -> Dict:
                     if args.volume_sample_rate is not None
                     else None
                 ),
+                num_cols=args.num_cols,
                 maps_cache_dir=args.maps_cache_dir,
             )
         else:
@@ -278,14 +352,16 @@ def train_test_main(family: str, argv=None) -> Dict:
                 volume_sample_rate=args.volume_sample_rate if is_train else None,
                 use_dataset_cache=args.use_dataset_cache_file,
                 dataset_cache_file=log_root / "dataset_cache.pkl",
+                num_cols=args.num_cols,
                 maps_cache_dir=args.maps_cache_dir,
             )
         return Loader(
             ds,
-            batch_size=global_batch,
+            batch_size=local_batch,
             shuffle=shuffle,
             seed=args.seed,
-            prefetch_size=max(int(args.num_workers), 0),
+            prefetch_size=2 if args.num_workers > 0 else 0,
+            num_workers=max(int(args.num_workers), 1),
             # multi-host: each process feeds its own shard of the example
             # list; eval shards volume-aware so whole volumes stay on one
             # process (the reference's VolumeSampler, data_module.py:189-194)
@@ -308,6 +384,7 @@ def train_test_main(family: str, argv=None) -> Dict:
         num_log_images=args.num_log_images,
         compute_train_metrics=args.compute_train_metrics,
         torch_init=bool(args.torch_init),
+        config_fingerprint=fingerprint,
     )
     trainer = Trainer(
         model,
@@ -319,7 +396,7 @@ def train_test_main(family: str, argv=None) -> Dict:
         reduce_fn=make_process_sum(),
     )
 
-    results: Dict = {}
+    results: Dict = {"trainer": trainer}
     if args.mode == "train":
         print(
             f"Training {family} {args.dynamic_type} with {args.num_cascades} "

@@ -231,6 +231,14 @@ class SliceDataset:
         return decoded
 
     def __getitem__(self, i: int):
+        return self.load(i)
+
+    def load(self, i: int, mask_seed=None):
+        """Decode sample ``i``; ``mask_seed`` (optional) draws its
+        undersampling mask from a dedicated seeded RNG instead of the
+        transform's sequential stream — what makes parallel decode
+        (train.loader ``num_workers>1``) deterministic regardless of
+        thread completion order."""
         ex = self.examples[i]
         decoded = self._load_decoded(ex.fname)
         if self.transform is None:
@@ -242,8 +250,10 @@ class SliceDataset:
                 ex.fname.name,
                 ex.slice_num,
             )
+        kwargs = {} if mask_seed is None else {"mask_seed": mask_seed}
         return self.transform(
-            decoded["kspace"], None, decoded["target"], {}, ex.fname.name, ex.slice_num
+            decoded["kspace"], None, decoded["target"], {}, ex.fname.name,
+            ex.slice_num, **kwargs,
         )
 
 
@@ -293,8 +303,11 @@ class CombinedSliceDataset:
         return sum(len(ds) for ds in self.datasets)
 
     def __getitem__(self, i: int):
+        return self.load(i)
+
+    def load(self, i: int, mask_seed=None):
         for ds in self.datasets:
             if i < len(ds):
-                return ds[i]
+                return ds.load(i, mask_seed=mask_seed)
             i -= len(ds)
         raise IndexError(i)

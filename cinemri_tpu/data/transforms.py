@@ -101,9 +101,12 @@ class _BaseTransform:
         self.mask_func = mask_func
         self.use_seed = use_seed
 
-    def _mask(self, kspace: np.ndarray, mask, fname: str):
+    def _mask(self, kspace: np.ndarray, mask, fname: str, mask_seed=None):
         if self.mask_func is not None:
-            seed = _fname_seed(fname) if self.use_seed else None
+            if mask_seed is not None:  # parallel-decode deterministic draw
+                seed = mask_seed
+            else:
+                seed = _fname_seed(fname) if self.use_seed else None
             return apply_mask_np(kspace, self.mask_func, seed)
         # pre-masked dataset: reshape the stored mask over the row axis
         # (transforms.py:334-343 — note the reference reshapes over the
@@ -113,14 +116,16 @@ class _BaseTransform:
         mask = np.asarray(mask, np.float32).reshape(1, 1, h, 1)
         return kspace.astype(np.complex64), mask
 
-    def _common(self, kspace, mask, target, fname, slice_num):
+    def _common(self, kspace, mask, target, fname, slice_num, mask_seed=None):
         if target is not None:
             target = np.asarray(target, np.float32)
             max_value = float(target.max())
         else:
             target = np.zeros((1,), np.float32)
             max_value = 0.0
-        masked_kspace, mask = self._mask(np.asarray(kspace, np.complex64), mask, fname)
+        masked_kspace, mask = self._mask(
+            np.asarray(kspace, np.complex64), mask, fname, mask_seed=mask_seed
+        )
         return {
             "masked_kspace": masked_kspace,  # (t, c, h, w) complex64
             "mask": mask,  # (t|1, 1, h, 1) float32
@@ -133,25 +138,32 @@ class _BaseTransform:
 
 
 class VarNetDataTransform(_BaseTransform):
-    def __call__(self, kspace, mask, target, attrs: Dict, fname: str, slice_num: int):
-        return self._common(kspace, mask, target, fname, slice_num)
+    def __call__(self, kspace, mask, target, attrs: Dict, fname: str,
+                 slice_num: int, mask_seed=None):
+        return self._common(kspace, mask, target, fname, slice_num, mask_seed)
 
 
 class XPDNetDataTransform(_BaseTransform):
-    def __call__(self, kspace, mask, target, attrs: Dict, fname: str, slice_num: int):
-        return self._common(kspace, mask, target, fname, slice_num)
+    def __call__(self, kspace, mask, target, attrs: Dict, fname: str,
+                 slice_num: int, mask_seed=None):
+        return self._common(kspace, mask, target, fname, slice_num, mask_seed)
 
 
 class CineNetDataTransform(_BaseTransform):
     """Adds per-sample ESPIRiT maps from the masked k-space (r=15).
 
-    ``cache_maps=True`` computes the maps once per filename and reuses them
-    across epochs. The reference recomputes them per sample per epoch
-    (transforms.py:425-432, its dominant data-path cost); with an
+    ``cache_maps=True`` computes the maps once per (filename, slice) and
+    reuses them across epochs. The reference recomputes them per sample per
+    epoch (transforms.py:425-432, its dominant data-path cost); with an
     always-sampled central band the masked calibration region barely changes
     across epochs, so cached maps are numerically near-identical while
     removing the per-epoch eigendecompositions from the input pipeline.
     Default False for exact reference semantics.
+
+    ``maps_cache_dir`` additionally persists the cached maps as one ``.npz``
+    per (filename, slice, mask-config) next to the dataset's decoded-volume
+    cache, so the cache survives process restarts and is shared across
+    train/test runs of the same configuration.
     """
 
     def __init__(
@@ -160,23 +172,55 @@ class CineNetDataTransform(_BaseTransform):
         use_seed: bool = True,
         calib_size: int = 15,
         cache_maps: bool = False,
+        maps_cache_dir=None,
     ):
         super().__init__(mask_func, use_seed)
         self.calib_size = calib_size
         self.cache_maps = cache_maps
+        from pathlib import Path
+
+        self.maps_cache_dir = Path(maps_cache_dir) if maps_cache_dir else None
         self._maps_cache: Dict[str, np.ndarray] = {}
 
-    def __call__(self, kspace, mask, target, attrs: Dict, fname: str, slice_num: int):
+    def _mask_tag(self) -> str:
+        """Mask-config fingerprint for the on-disk key: maps computed under
+        one (mask type, accelerations, center config) must not be reused by
+        another."""
+        mf = self.mask_func
+        if mf is None:
+            return "nomask"
+        return (
+            f"{type(mf).__name__}_c{'-'.join(str(c) for c in mf.center_fractions)}"
+            f"_a{'-'.join(str(a) for a in mf.accelerations)}"
+        )
+
+    def _disk_path(self, fname: str, slice_num: int):
+        if self.maps_cache_dir is None:
+            return None
+        return (
+            self.maps_cache_dir
+            / f"{fname}.s{slice_num}.r{self.calib_size}.{self._mask_tag()}.maps.npz"
+        )
+
+    def __call__(self, kspace, mask, target, attrs: Dict, fname: str,
+                 slice_num: int, mask_seed=None):
         from cinemri_tpu.data.espirit import espirit_maps  # lazy import
 
-        sample = self._common(kspace, mask, target, fname, slice_num)
+        sample = self._common(kspace, mask, target, fname, slice_num, mask_seed)
         key = f"{fname}#{slice_num}"
-        if self.cache_maps and key in self._maps_cache:
-            maps = self._maps_cache[key]
-        else:
+        maps = self._maps_cache.get(key) if self.cache_maps else None
+        disk = self._disk_path(fname, slice_num) if self.cache_maps else None
+        if maps is None and disk is not None and disk.exists():
+            with np.load(disk) as z:
+                maps = np.ascontiguousarray(z["maps"])
+            self._maps_cache[key] = maps
+        if maps is None:
             tavg = sample["masked_kspace"].mean(axis=0)  # (c, h, w)
             maps = np.asarray(espirit_maps(tavg, calib_size=self.calib_size))
             if self.cache_maps:
                 self._maps_cache[key] = maps
+                if disk is not None:
+                    disk.parent.mkdir(parents=True, exist_ok=True)
+                    np.savez(disk, maps=maps)
         sample["sens_maps"] = maps[None]  # (1, c, h, w) — broadcast over t
         return sample

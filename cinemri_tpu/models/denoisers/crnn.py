@@ -24,7 +24,41 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-__all__ = ["CRNNCell", "BCRNN", "fused_sum_conv"]
+__all__ = ["CRNNCell", "BCRNN", "fused_sum_conv", "fused_slice_sizes"]
+
+
+def fused_slice_sizes(name: str):
+    """Parse the ``__f<s0>_<s1>...`` suffix a fused conv's name carries.
+
+    Returns the per-input channel sizes, or None for ordinary convs. The
+    suffix lets :func:`cinemri_tpu.models.init.torch_style_init` re-draw
+    each input slice with the fan-in of the separate conv it replaces.
+    """
+    if "__f" not in name:
+        return None
+    return tuple(int(s) for s in name.rsplit("__f", 1)[1].split("_"))
+
+
+def _sliced_lecun_normal(sizes):
+    """Per-slice lecun_normal: each input slice gets the variance the
+    separate conv it fuses would have (fan_in = k*k*slice), instead of one
+    draw at fan_in = k*k*sum(sizes) which would start the narrow slices
+    (e.g. the 2-channel image input vs 18-channel hiddens) ~3x too small."""
+
+    def init(key, shape, dtype=jnp.float32):
+        import jax
+
+        keys = jax.random.split(key, len(sizes))
+        parts = []
+        for s, kk in zip(sizes, keys):
+            parts.append(
+                nn.initializers.lecun_normal()(
+                    kk, shape[:-2] + (s, shape[-1]), dtype
+                )
+            )
+        return jnp.concatenate(parts, axis=-2)
+
+    return init
 
 
 def fused_sum_conv(chans: int, kernel_size: int, name: str, *inputs):
@@ -33,10 +67,27 @@ def fused_sum_conv(chans: int, kernel_size: int, name: str, *inputs):
     Exact up to f32 summation order; one MXU pass instead of len(inputs)
     mostly-padding passes when each input's contraction dim (3*3*ch) sits
     far below the MXU's 128 lanes.
+
+    Initialization matches the separate convs it replaces: each input slice
+    of the kernel is drawn with that slice's own fan-in (both here for the
+    flax path and in ``models.init.torch_style_init`` via the ``__f``
+    name suffix), and the bias — the sum of the separate convs' biases —
+    starts at zero either way (flax default; torch_style_init re-draws it
+    as a sum of per-conv uniforms).
     """
     k = (kernel_size, kernel_size)
-    cat = inputs[0] if len(inputs) == 1 else jnp.concatenate(inputs, axis=-1)
-    return nn.Conv(chans, k, padding="SAME", name=name)(cat)
+    if len(inputs) == 1:
+        return nn.Conv(chans, k, padding="SAME", name=name)(inputs[0])
+    sizes = tuple(int(x.shape[-1]) for x in inputs)
+    cat = jnp.concatenate(inputs, axis=-1)
+    full_name = f"{name}__f{'_'.join(str(s) for s in sizes)}"
+    return nn.Conv(
+        chans,
+        k,
+        padding="SAME",
+        name=full_name,
+        kernel_init=_sliced_lecun_normal(sizes),
+    )(cat)
 
 
 class CRNNCell(nn.Module):

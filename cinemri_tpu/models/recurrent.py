@@ -35,6 +35,7 @@ from cinemri_tpu.ops.cplx import Complex, concat as cconcat, crepeat, from_chann
 from cinemri_tpu.physics.cg import conj_grad
 from cinemri_tpu.physics.operators import (
     apply_mask,
+    coil_weight,
     is_line_mask,
     masked_normal_kernel,
     normal_plus_lambda,
@@ -102,7 +103,7 @@ class _VarNetRNNStep(nn.Module):
     chans: int
 
     @nn.compact
-    def __call__(self, carry, ref, mask, sens_maps, dc_kernel):
+    def __call__(self, carry, ref, mask, sens_maps, dc_kernel, rss0=None):
         x, hiddens = carry
         b, t, h, w = x.shape
         x_in = _image_to_tb(x)  # (t, b, h, w, 2)
@@ -118,7 +119,7 @@ class _VarNetRNNStep(nn.Module):
             x_new = sens_reduce(dc, sens_maps)[:, :, 0]
         else:  # ref is the zero-filled image; zero per-cascade DFTs
             x_new = soft_dc_image_kernel(
-                out_img[:, :, None], ref, dc_kernel, sens_maps, v
+                out_img[:, :, None], ref, dc_kernel, sens_maps, v, rss_sq=rss0
             )[:, :, 0]
         return (x_new, hiddens), None
 
@@ -145,6 +146,7 @@ class VarNetRNN(nn.Module):
 
         use_kernel = self.kernel_dc and is_line_mask(mask)
         dc_kernel = masked_normal_kernel(mask) if use_kernel else None
+        rss0 = coil_weight(sens_maps) if use_kernel else None
         ref = x_ref if use_kernel else ref_kspace
 
         step = nn.remat(_VarNetRNNStep) if self.remat else _VarNetRNNStep
@@ -152,11 +154,11 @@ class VarNetRNN(nn.Module):
             step,
             variable_broadcast="params",
             split_rngs={"params": False},
-            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
+            in_axes=(nn.broadcast,) * 5,
             length=self.num_cascades,
         )
         (x, _), _ = scan(chans=self.chans, name="iterations")(
-            (x, hiddens), ref, mask, sens_maps, dc_kernel
+            (x, hiddens), ref, mask, sens_maps, dc_kernel, rss0
         )
         return x.abs()
 

@@ -32,6 +32,7 @@ from cinemri_tpu.ops.coil import rss_complex
 from cinemri_tpu.ops.fft import fft1c, ifft1c, ifft2c
 from cinemri_tpu.physics.lowfreq import center_band, mask_center_band
 from cinemri_tpu.physics.operators import (
+    coil_weight,
     is_line_mask,
     masked_normal_kernel,
     sens_expand,
@@ -128,7 +129,7 @@ class VarNetCascade(nn.Module):
         return out + mean
 
     @nn.compact
-    def __call__(self, carry, lam, ref, mask, sens_maps, dc_kernel):
+    def __call__(self, carry, lam, ref, mask, sens_maps, dc_kernel, rss0=None):
         # Two equivalent cascade forms (see physics.soft_dc_image_kernel):
         #   direct: carry/ref are k-space; per-cascade FFT pair + soft DC
         #   kernel: carry/ref are the combined image; the whole DC leg is
@@ -158,7 +159,9 @@ class VarNetCascade(nn.Module):
             model_term = sens_expand(model_out[:, :, None], sens_maps)
             return soft_dc(model_term, ref, mask, v), None
         return (
-            soft_dc_image_kernel(model_out[:, :, None], ref, dc_kernel, sens_maps, v),
+            soft_dc_image_kernel(
+                model_out[:, :, None], ref, dc_kernel, sens_maps, v, rss_sq=rss0
+            ),
             None,
         )
 
@@ -195,17 +198,18 @@ class VarNet(nn.Module):
         use_kernel = self.kernel_dc and is_line_mask(mask)
         if use_kernel:
             dc_kernel = masked_normal_kernel(mask)
+            rss0 = coil_weight(sens_maps)  # hoisted out of the cascade scan
             x_ref = sens_reduce(masked_kspace, sens_maps)  # (b, t, 1, h, w)
             carry0, ref = x_ref, x_ref
         else:
-            dc_kernel, carry0, ref = None, masked_kspace, masked_kspace
+            dc_kernel, rss0, carry0, ref = None, None, masked_kspace, masked_kspace
 
         block = nn.remat(VarNetCascade) if self.remat else VarNetCascade
         scan = nn.scan(
             block,
             variable_broadcast="params",  # regularizer U-Net shared (varnet.py:138-149)
             split_rngs={"params": False},
-            in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
+            in_axes=(0,) + (nn.broadcast,) * 5,
             length=self.num_cascades,
         )
         pred, _ = scan(
@@ -215,7 +219,7 @@ class VarNet(nn.Module):
             weight_sharing=self.weight_sharing,
             plane_axis=self.plane_axis,
             name="cascades",
-        )(carry0, lam, ref, mask, sens_maps, dc_kernel)
+        )(carry0, lam, ref, mask, sens_maps, dc_kernel, rss0)
 
         if use_kernel:
             return pred[:, :, 0].abs()  # carry IS sens_reduce(k_pred)

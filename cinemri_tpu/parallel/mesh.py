@@ -60,10 +60,26 @@ def shard_batch(batch: Dict, mesh: Optional[Mesh], axis: str = "data") -> Dict:
 
     Host-side complex arrays become :class:`~cinemri_tpu.ops.cplx.Complex`
     (re, im) pairs here — complex dtypes never reach the device.
+
+    On a mesh spanning multiple processes, each process passes its **local**
+    rows (the shard its Loader produced with ``num_replicas=process_count``)
+    and the global batch is assembled with
+    ``jax.make_array_from_process_local_data`` — the jit'd step then runs
+    SPMD over all hosts with the gradient all-reduce riding ICI/DCN (the
+    reference's DDP+NCCL, train_test_varnet.py:288-290).
     """
     from cinemri_tpu.ops.cplx import Complex
 
     import jax.numpy as jnp
+
+    multiprocess = mesh is not None and len(mesh.devices.flat) > jax.local_device_count()
+
+    def place(v, sh):
+        if sh is None:
+            return jnp.asarray(v)
+        if multiprocess:
+            return jax.make_array_from_process_local_data(sh, np.asarray(v))
+        return jax.device_put(v, sh)
 
     def to_device(v, sh):
         if np.iscomplexobj(v):
@@ -71,9 +87,9 @@ def shard_batch(batch: Dict, mesh: Optional[Mesh], axis: str = "data") -> Dict:
                 np.ascontiguousarray(np.asarray(v).real, dtype=np.float32),
                 np.ascontiguousarray(np.asarray(v).imag, dtype=np.float32),
             )
-        if sh is None:
-            return jax.tree.map(jnp.asarray, v) if isinstance(v, Complex) else jnp.asarray(v)
-        return jax.device_put(v, sh)
+        if isinstance(v, Complex):
+            return jax.tree.map(lambda a: place(a, sh), v)
+        return place(v, sh)
 
     out = {}
     for k in ARRAY_KEYS:
@@ -84,9 +100,10 @@ def shard_batch(batch: Dict, mesh: Optional[Mesh], axis: str = "data") -> Dict:
             out[k] = to_device(v, None)
         else:
             n = mesh.shape[axis]
+            n_local = v.shape[0] * (jax.process_count() if multiprocess else 1)
             sh = (
                 batch_sharding(mesh, axis)
-                if v.shape[0] % n == 0
+                if n_local % n == 0
                 else replicated_sharding(mesh)
             )
             out[k] = to_device(v, sh)

@@ -82,7 +82,16 @@ def is_line_mask(mask: jnp.ndarray) -> bool:
     """True for Cartesian phase-encode line masks ``(b, t|1, 1, h, 1)`` —
     the shape :func:`masked_normal_kernel` can collapse into an h-axis
     matrix. Both reference mask generators emit this shape
-    (subsample.py:146-151, 210-214)."""
+    (subsample.py:146-151, 210-214).
+
+    Shape check only: the kernelized DC paths gated on this predicate
+    (:func:`soft_dc_image_kernel`, the XPDNet measurements-residual
+    collapse) additionally require the mask values to be **binary 0/1**
+    (they use ``m*m = m`` and ``m*k_ref = k_ref`` for pre-masked reference
+    k-space). Both reference generators emit 0/1 masks; a density-weighted
+    mask would silently change semantics between ``kernel_dc=1`` and
+    ``kernel_dc=0`` — pass ``kernel_dc=0`` for non-binary masks.
+    """
     return mask.ndim == 5 and mask.shape[2] == 1 and mask.shape[-1] == 1
 
 
@@ -156,6 +165,12 @@ def soft_dc_image_kernel(
     and ``x_ref = sens_reduce(masked_kspace)`` — using ``m ⊙ k_ref = k_ref``
     (the reference k-space is already masked) and ``FᴴF = Id``. Exact to
     f32 rounding (tested against the direct path); no per-cascade DFTs.
+
+    Precondition: the mask is **binary 0/1** and ``x_ref`` comes from
+    k-space already multiplied by that mask — the derivation uses
+    ``m*m = m`` and ``m ⊙ k_ref = k_ref``. Non-binary (e.g.
+    density-compensated) masks must use the direct path
+    (see :func:`is_line_mask`).
 
     Args:
         model_out: regularizer output, Complex (b, t, 1, h, w).

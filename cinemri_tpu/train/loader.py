@@ -89,12 +89,23 @@ class Loader:
         drop_last: bool = False,
         bucket_by_shape: bool = True,
         prefetch_size: int = 2,
+        num_workers: int = 1,
     ):
         """``bucket_by_shape``: reorder each epoch so consecutive batches are
         homogeneous in (coil count, encoding size). Real cine archives mix
         coil counts across volumes; XLA compiles one program per shape, so
         bucketing bounds recompiles at one per distinct shape instead of
-        failing mid-batch (SURVEY §7 hard part #6: bucket-and-pad)."""
+        failing mid-batch (SURVEY §7 hard part #6: bucket-and-pad).
+
+        ``num_workers``: decode-thread pool size (the reference's 4
+        DataLoader worker processes, data_module.py:196-202). At 1, samples
+        decode serially in the prefetch thread and masks draw sequentially
+        from the transform's per-epoch-seeded RNG (round-2 behavior). At
+        >1, decodes run concurrently — HDF5/numpy and the CineNet eigh
+        release the GIL — and each sample's mask uses its own seed derived
+        from (seed, epoch, rank, position), so batches stay deterministic
+        regardless of thread completion order (different draws than the
+        serial stream, equally random)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -105,6 +116,7 @@ class Loader:
         self.drop_last = drop_last
         self.bucket_by_shape = bucket_by_shape
         self.prefetch_size = prefetch_size
+        self.num_workers = max(int(num_workers), 1)
 
     def _indices(self, epoch: int) -> List[int]:
         if self.volume_aware and self.num_replicas > 1:
@@ -142,8 +154,57 @@ class Loader:
         if tr is not None and getattr(tr, "mask_func", None) is not None:
             tr.mask_func.rng.seed((self.seed + 1009 * epoch + self.rank) % (2**32 - 1))
 
+        if self.num_workers > 1 and hasattr(self.dataset, "load"):
+            yield from self._parallel_epoch_iter(epoch)
+            return
         for chunk, n_valid in self._batch_chunks(epoch):
             yield collate([self.dataset[j] for j in chunk], n_valid)
+
+    def _parallel_epoch_iter(self, epoch: int) -> Iterator[Dict]:
+        """Thread-pool decode with a bounded in-flight window; batches are
+        yielded in order. Per-sample mask seeds make results independent of
+        scheduling (see ``num_workers`` docstring)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        chunks = self._batch_chunks(epoch)
+        jobs = [j for chunk, _ in chunks for j in chunk]
+        # unique seed per (epoch, rank, flat sample position); fname-seeded
+        # transforms (use_seed=True) keep their own deterministic draw — it
+        # is already scheduling-independent
+        tr = getattr(self.dataset, "transform", None)
+        if tr is not None and getattr(tr, "use_seed", False):
+            flat_seeds = [None] * len(jobs)
+        else:
+            flat_seeds = [
+                (self.seed + 1009 * epoch + 7919 * self.rank + 104729 * p) % (2**31 - 1)
+                for p in range(len(jobs))
+            ]
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            window = self.num_workers * 2 + self.batch_size
+            futures = []
+            submitted = 0
+            taken = 0
+
+            def top_up():
+                nonlocal submitted
+                while submitted < len(jobs) and (submitted - taken) < window:
+                    futures.append(
+                        pool.submit(
+                            self.dataset.load, jobs[submitted],
+                            mask_seed=flat_seeds[submitted],
+                        )
+                    )
+                    submitted += 1
+
+            top_up()
+            for chunk, n_valid in chunks:
+                samples = []
+                for _ in chunk:
+                    samples.append(futures[taken].result())
+                    futures[taken] = None  # free memory
+                    taken += 1
+                    top_up()
+                yield collate(samples, n_valid)
 
     def _shape_key(self, i: int):
         examples = getattr(self.dataset, "examples", None)

@@ -27,6 +27,20 @@ from cinemri_tpu.train.step import create_train_state, make_eval_step, make_trai
 __all__ = ["TrainerConfig", "Trainer"]
 
 
+def _local_np(x) -> np.ndarray:
+    """This process's rows of a (possibly cross-process) batch-sharded array.
+
+    Single-process (or fully replicated) arrays convert whole; on a
+    multi-process mesh each host reads back exactly the batch rows its
+    loader contributed, in order, so host-side metric aggregation stays
+    local + a scalar process-sum (the reference's DistributedMetricSum
+    pattern)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        shards = sorted(x.addressable_shards, key=lambda s: s.index[0].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    return np.asarray(x)
+
+
 @dataclasses.dataclass
 class TrainerConfig:
     """Defaults follow the reference train scripts (SURVEY Appendix B)."""
@@ -46,6 +60,14 @@ class TrainerConfig:
     debug_nans: bool = False  # raise at the first NaN-producing op
     checkpoint_on_preemption: bool = True  # SIGTERM -> save before dying
     torch_init: bool = True  # reference torch reset_parameters weight stats
+    # short hash of the model-defining config (cli.common.config_fingerprint);
+    # stored in every checkpoint and verified on restore so a mismatched
+    # parameter tree fails with a clear message instead of an orbax error
+    config_fingerprint: str = ""
+    # per-step TensorBoard cadence for training_loss/grad_norm (the
+    # reference logs the loss every step, mri_module.py:211-213); 0 = only
+    # the per-epoch aggregate
+    log_every_steps: int = 1
 
 
 class Trainer:
@@ -79,6 +101,7 @@ class Trainer:
         self._train_step = make_train_step()
         self._eval_step = make_eval_step()
         self.state = None
+        self.rng = None
         self.history: List[Dict[str, float]] = []
 
     # ------------------------------------------------------------------ setup
@@ -95,33 +118,70 @@ class Trainer:
             steps_per_epoch=steps_per_epoch,
         )
         arrays = shard_batch(example_batch, self.mesh)
+        init_rng, self.rng = jax.random.split(jax.random.PRNGKey(self.cfg.seed))
         self.state = create_train_state(
             self.model,
             arrays,
             tx,
-            rng=jax.random.PRNGKey(self.cfg.seed),
+            rng=init_rng,
             torch_init=self.cfg.torch_init,
         )
+        if self.mesh is not None and len(self.mesh.devices.flat) > jax.local_device_count():
+            # multi-process mesh: replicate the state globally so the jitted
+            # step sees committed global arrays on every host
+            from cinemri_tpu.parallel.mesh import replicated_sharding
+
+            self.state = jax.device_put(self.state, replicated_sharding(self.mesh))
         return self.state
 
     def _ckpt_tree(self, epoch: int):
+        """Full resume tree (SURVEY §5): params, optimizer state, step
+        counter, epoch, the trainer PRNG key, and the model-config
+        fingerprint. The PRNG key is the only post-init randomness source
+        the trainer owns (mask RNG is host-side, reseeded per epoch by the
+        Loader; dropout is off at reference defaults), so a restored run is
+        bit-continuous — asserted by tests/test_train.py resume tests."""
+        import numpy as np
+
         return {
             "params": self.state.params,
             "opt_state": self.state.opt_state,
             "step": int(self.state.step),
             "epoch": epoch,
+            "rng": np.asarray(self.rng),  # legacy uint32 key array
+            "fingerprint": np.frombuffer(
+                self.cfg.config_fingerprint.ljust(8, "0")[:8].encode(), np.uint8
+            ).copy(),
         }
+
+    def _check_fingerprint(self, restored):
+        saved = bytes(np.asarray(restored.get("fingerprint", []))).decode(
+            errors="replace"
+        )
+        want = self.cfg.config_fingerprint.ljust(8, "0")[:8]
+        if saved and self.cfg.config_fingerprint and saved != want:
+            raise ValueError(
+                f"checkpoint in {self.ckpt.directory} was saved with model "
+                f"config fingerprint {saved!r} but this run is {want!r} — "
+                "the parameter trees differ; point --path_config at the "
+                "matching run or delete the stale checkpoint dir"
+            )
 
     def restore_latest(self, example_batch) -> int:
         """Restore the newest checkpoint; returns the next epoch index."""
         if self.state is None:
             self.init_state(example_batch)
         restored = self.ckpt.restore(self._ckpt_tree(0))
+        self._check_fingerprint(restored)
         self.state = self.state.replace(
             params=restored["params"],
             opt_state=restored["opt_state"],
             step=int(restored["step"]),
         )
+        if "rng" in restored:
+            import jax.numpy as jnp
+
+            self.rng = jnp.asarray(np.asarray(restored["rng"], np.uint32))
         return int(restored["epoch"]) + 1
 
     def restore_best(self, example_batch):
@@ -129,6 +189,7 @@ class Trainer:
             self.init_state(example_batch)
         step = self.ckpt.best_step if self.ckpt.best_step is not None else None
         restored = self.ckpt.restore(self._ckpt_tree(0), step=step)
+        self._check_fingerprint(restored)
         self.state = self.state.replace(params=restored["params"])
         return self.state
 
@@ -139,8 +200,8 @@ class Trainer:
         logged = 0
         for batch in loader.epoch(epoch):
             aux = self._eval_step(self.state, shard_batch(batch, self.mesh))
-            out = np.asarray(aux["output"])
-            tgt = np.asarray(aux["target"])
+            out = _local_np(aux["output"])
+            tgt = _local_np(aux["target"])
             agg.update_batch(batch, out, tgt, loss=float(aux["loss"]))
             if logged < self.cfg.num_log_images:
                 self.logger.cine_video(
@@ -199,20 +260,33 @@ class Trainer:
             for batch in self.train_loader.epoch(epoch):
                 arrays = shard_batch(batch, self.mesh)
                 self.state, aux = self._train_step(self.state, arrays)
+                loss = float(aux["loss"])
+                step = int(self.state.step)
+                if self.cfg.log_every_steps and step % self.cfg.log_every_steps == 0:
+                    # per-step loss + grad norm (the reference logs the loss
+                    # each training_step_end, mri_module.py:211-213)
+                    self.logger.scalars(
+                        {
+                            "training_loss_step": loss,
+                            "grad_norm": float(aux["grad_norm"]),
+                        },
+                        step,
+                    )
+                n_real = int(np.sum(batch["sample_weight"] > 0)) if "sample_weight" in batch else len(batch["fname"])
                 if self.cfg.compute_train_metrics:
                     agg.update_batch(
                         batch,
-                        np.asarray(aux["output"]),
-                        np.asarray(aux["target"]),
-                        loss=float(aux["loss"]),
+                        _local_np(aux["output"]),
+                        _local_np(aux["target"]),
+                        loss=loss,
                     )
                 else:
-                    agg.losses.append(float(aux["loss"]))
+                    agg.add_loss(loss, n_real)
 
             epoch_metrics = (
                 agg.compute()
                 if self.cfg.compute_train_metrics
-                else {"loss": float(np.mean(agg.losses))}
+                else {"loss": agg.loss_value()}
             )
             record = {f"train_{k}": v for k, v in epoch_metrics.items()}
             self.logger.scalars(

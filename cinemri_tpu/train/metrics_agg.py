@@ -52,7 +52,19 @@ class MetricsAggregator:
         self.target_norms: Dict[str, Dict[int, float]] = defaultdict(dict)
         self.ssim_vals: Dict[str, Dict[int, float]] = defaultdict(dict)
         self.max_vals: Dict[str, float] = {}
-        self.losses = []
+        self.losses = []  # (batch-mean loss, real-sample count) pairs
+
+    def add_loss(self, loss: float, n_samples: int = 1):
+        """Record one step's batch-mean loss, weighted by its real (non-
+        padding) sample count, so the epoch loss is a per-sample average
+        even with mixed batch sizes (the reference always runs b=1 where
+        batch mean == sample mean, mri_module.py:211-213)."""
+        self.losses.append((float(loss), int(n_samples)))
+
+    def loss_value(self) -> float:
+        num = sum(l * n for l, n in self.losses)
+        den = max(sum(n for _, n in self.losses), 1)
+        return float(num / den)
 
     def update(self, fname: str, slice_num: int, output, target, max_value, loss=None):
         """Record one sample (output/target: (t, h, w) numpy)."""
@@ -64,7 +76,7 @@ class MetricsAggregator:
         self.ssim_vals[fname][slice_num] = ssim
         self.max_vals[fname] = float(max_value)
         if loss is not None:
-            self.losses.append(float(loss))
+            self.add_loss(loss, 1)
         if self.ssim_csv_path is not None:
             # per-image SSIM artifact (mri_module.py:408-413)
             self.ssim_csv_path.parent.mkdir(parents=True, exist_ok=True)
@@ -79,17 +91,22 @@ class MetricsAggregator:
         slices = batch["slice_num"]
         maxvals = batch["max_value"]
         weights = batch.get("sample_weight")
+        n_real = 0
         for i, fname in enumerate(fnames):
             if weights is not None and float(weights[i]) == 0.0:
                 continue
+            n_real += 1
             self.update(
                 fname,
                 int(slices[i]),
                 outputs[i],
                 targets[i],
                 float(maxvals[i]),
-                loss=loss if i == 0 else None,
             )
+        if loss is not None:
+            # the step's batch-mean loss, weighted by its real sample count
+            # so variable batch sizes average per-sample (ADVICE r2)
+            self.add_loss(loss, max(n_real, 1))
 
     def compute(self) -> Dict[str, float]:
         """Epoch metrics (mri_module.py:180-213 aggregation recipe)."""
@@ -117,6 +134,7 @@ class MetricsAggregator:
             "psnr": r(psnr) / tot_examples,
         }
         if self.losses:
-            tot_slices = max(r(float(len(self.losses))), 1.0)
-            out["loss"] = r(float(np.sum(self.losses))) / tot_slices
+            num = float(sum(l * n for l, n in self.losses))
+            den = max(r(float(sum(n for _, n in self.losses))), 1.0)
+            out["loss"] = r(num) / den
         return out

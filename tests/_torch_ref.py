@@ -161,6 +161,13 @@ def fused_conv_w(*mods) -> dict:
     return out
 
 
+def fused_name(base: str, *mods) -> str:
+    """Fused-conv module name with the ``__f<sizes>`` input-slice suffix
+    (crnn.fused_sum_conv naming convention)."""
+    sizes = [m.weight.shape[1] for m in mods]
+    return f"{base}__f{'_'.join(str(s) for s in sizes)}"
+
+
 def crnn_trunk_params(tmodel) -> dict:
     """reference VarNet_RNN conv trunk + BCRNN -> flax CRNNTrunk params."""
     cell = tmodel.bcrnn.CRNN_model
@@ -168,12 +175,16 @@ def crnn_trunk_params(tmodel) -> dict:
         "bcrnn": {
             "cell": {
                 # fused conv input order: (x, hidden_time, hidden_iteration)
-                "i2h_h2h_ih2ih": fused_conv_w(cell.i2h, cell.h2h, cell.ih2ih),
+                fused_name("i2h_h2h_ih2ih", cell.i2h, cell.h2h, cell.ih2ih):
+                    fused_conv_w(cell.i2h, cell.h2h, cell.ih2ih),
             }
         },
-        "conv1_xh": fused_conv_w(tmodel.conv1_x, tmodel.conv1_h),
-        "conv2_xh": fused_conv_w(tmodel.conv2_x, tmodel.conv2_h),
-        "conv3_xh": fused_conv_w(tmodel.conv3_x, tmodel.conv3_h),
+        fused_name("conv1_xh", tmodel.conv1_x, tmodel.conv1_h):
+            fused_conv_w(tmodel.conv1_x, tmodel.conv1_h),
+        fused_name("conv2_xh", tmodel.conv2_x, tmodel.conv2_h):
+            fused_conv_w(tmodel.conv2_x, tmodel.conv2_h),
+        fused_name("conv3_xh", tmodel.conv3_x, tmodel.conv3_h):
+            fused_conv_w(tmodel.conv3_x, tmodel.conv3_h),
         "conv4_x": conv_w(tmodel.conv4_x),
     }
 

@@ -108,7 +108,8 @@ class TestTrainTestFlow:
         # this log root at a higher epoch count than this 1-epoch run
         train_test_main("varnet", common + ["--mode", "train", "--save_checkpoint", "1"])
         ckpt_root = workdir / "logs" / "varnet" / "varnet_logs" / "checkpoints"
-        assert (ckpt_root / "varnet_2D_acc2").is_dir()
+        # dir name = family_dynamic_acc + model-config fingerprint hash
+        assert list(ckpt_root.glob("varnet_2D_acc2_*"))
         out = train_test_main("varnet", common + ["--mode", "test", "--load_model", "1"])
         assert 0 < out["test_metrics"]["ssim"] <= 1
 

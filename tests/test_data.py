@@ -277,3 +277,40 @@ class TestCineNetMapCaching:
         for _ in range(2):
             tr2(vol["kspace"], None, vol["image"], {}, "v.h5", 0)
         assert calls["n"] == 3  # recomputed per call, reference semantics
+
+    def test_disk_cache_survives_process_restart(self, monkeypatch, tmp_path):
+        """maps_cache_dir persists cached maps as .npz so a fresh transform
+        (new process) reuses them instead of recomputing (VERDICT r2 #4)."""
+        from cinemri_tpu.data import CineNetDataTransform, RandomMask
+        import cinemri_tpu.data.espirit as esp
+
+        vol = synthetic_volume(num_frames=3, num_coils=3, h=32, w=32)
+        calls = {"n": 0}
+        real = esp.espirit_maps
+
+        def counting(*a, **k):
+            calls["n"] += 1
+            return real(*a, **k)
+
+        monkeypatch.setattr(esp, "espirit_maps", counting)
+        mk = lambda: CineNetDataTransform(
+            RandomMask([6], [2]), use_seed=False, cache_maps=True,
+            maps_cache_dir=tmp_path / "mc",
+        )
+        tr = mk()
+        s1 = tr(vol["kspace"], None, vol["image"], {}, "v.h5", 0)
+        assert calls["n"] == 1
+        assert list((tmp_path / "mc").glob("*.maps.npz"))
+
+        tr2 = mk()  # fresh instance = simulated restart
+        s2 = tr2(vol["kspace"], None, vol["image"], {}, "v.h5", 0)
+        assert calls["n"] == 1  # served from disk
+        np.testing.assert_array_equal(s1["sens_maps"], s2["sens_maps"])
+
+        # a different mask config must NOT reuse the cached maps
+        tr3 = CineNetDataTransform(
+            RandomMask([6], [4]), use_seed=False, cache_maps=True,
+            maps_cache_dir=tmp_path / "mc",
+        )
+        tr3(vol["kspace"], None, vol["image"], {}, "v.h5", 0)
+        assert calls["n"] == 2

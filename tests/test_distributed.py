@@ -1,0 +1,170 @@
+"""Real two-process distributed training test (VERDICT r2 #3).
+
+The reference reaches multi-process training through Lightning DDP over
+torch.distributed (train_test_varnet.py:288-290); the analogue here is
+``jax.distributed.initialize`` + a mesh spanning both processes'
+devices, with per-process data loading assembled into global arrays
+(parallel.mesh.shard_batch) and host-side metrics summed across processes
+(parallel.distributed.make_process_sum — the DistributedMetricSum branch
+this test exists to execute for real).
+
+Two CPU processes (1 device each, linked over a local Gloo coordinator)
+train a tiny VarNet through the full CLI path, then the run is compared
+leaf-for-leaf against a single-process run on the same global batches.
+"""
+
+import os
+import pickle
+import socket
+import subprocess
+import sys
+import textwrap
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from cinemri_tpu.data.synthetic import make_synthetic_dataset
+
+pytestmark = pytest.mark.filterwarnings("ignore::DeprecationWarning")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+WORKER = textwrap.dedent(
+    """
+    import os, pickle, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    pid = int(sys.argv[1])
+    port = sys.argv[2]
+    workdir = sys.argv[3]
+    nproc = int(sys.argv[4])
+
+    from cinemri_tpu.cli.common import train_test_main
+
+    args = [
+        "--mode", "train", "--epochs", "2", "--lr", "1e-3",
+        "--num_cascades", "1", "--chans", "4", "--pools", "2",
+        "--sens_chans", "4", "--sens_pools", "2", "--dynamic_type", "2D",
+        "--accelerations", "2", "--center_fractions", "6",
+        "--use_seed", "1", "--num_workers", "2",
+        "--compute_train_metrics", "1",
+        "--path_config", f"{workdir}/dirs_path.yaml",
+        "--maps_cache_dir", f"{workdir}/maps",
+        "--num_devices", str(nproc), "--batch_size", "1",
+    ]
+    if nproc > 1:
+        args += [
+            "--num_processes", str(nproc),
+            "--coordinator_address", f"localhost:{port}",
+            "--process_id", str(pid),
+        ]
+    else:
+        # single process, one device: same GLOBAL batch via batch_size
+        args[args.index("--batch_size") + 1] = "2"
+        args[args.index("--num_devices") + 1] = "1"
+
+    out = train_test_main("varnet", args)
+    trainer = out["trainer"]
+    leaves = [np.asarray(x) for x in jax.tree.leaves(trainer.state.params)]
+    import numpy as np2
+    hist = [
+        {k: v for k, v in rec.items()}
+        for rec in out["history"]
+    ]
+    with open(f"{workdir}/params_p{pid}_n{nproc}.pkl", "wb") as f:
+        pickle.dump({"leaves": leaves, "history": hist}, f)
+    print("WORKER_DONE", pid, flush=True)
+    """
+)
+
+
+@pytest.fixture(scope="module")
+def dist_workdir(tmp_path_factory):
+    workdir = tmp_path_factory.mktemp("dist")
+    make_synthetic_dataset(
+        workdir / "data",
+        splits=("train", "valid", "test"),
+        volumes_per_split=4,
+        num_frames=4,
+        num_coils=3,
+        h=32,
+        w=32,
+    )
+    (workdir / "dirs_path.yaml").write_text(
+        f"data_path: {workdir}/data\n"
+        f"log_path: {workdir}/logs\n"
+        f"save_path: {workdir}/results\n"
+    )
+    return workdir
+
+
+def _run_workers(workdir: Path, nproc: int, port: int):
+    repo_root = str(Path(__file__).resolve().parent.parent)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    script = str(workdir / "worker.py")
+    Path(script).write_text("import numpy as np\n" + WORKER)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, script, str(pid), str(port), str(workdir), str(nproc)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(nproc)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+    return outs
+
+
+class TestTwoProcessTraining:
+    def test_two_process_matches_single_process(self, dist_workdir):
+        """Final params of a 2-process (1 device each) data-parallel run
+        must match the single-process run on the same global batches, and
+        the cross-process metric reduction must execute for real."""
+        _run_workers(dist_workdir, 2, _free_port())
+        _run_workers(dist_workdir, 1, _free_port())
+
+        with open(dist_workdir / "params_p0_n2.pkl", "rb") as f:
+            two = pickle.load(f)
+        with open(dist_workdir / "params_p1_n2.pkl", "rb") as f:
+            two_r1 = pickle.load(f)
+        with open(dist_workdir / "params_p0_n1.pkl", "rb") as f:
+            one = pickle.load(f)
+
+        # both ranks hold identical replicated params
+        for a, b in zip(two["leaves"], two_r1["leaves"]):
+            np.testing.assert_array_equal(a, b)
+        # 2-process run matches the single-process global-batch run
+        assert len(two["leaves"]) == len(one["leaves"])
+        for a, b in zip(two["leaves"], one["leaves"]):
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+        # metrics: the per-volume epoch metrics were allreduced over both
+        # processes — each rank reports the SAME global value, and it
+        # matches the single-process run
+        m2 = two["history"][-1]
+        m2b = two_r1["history"][-1]
+        m1 = one["history"][-1]
+        for k in ("train_ssim", "train_nmse", "val_ssim"):
+            assert m2[k] == pytest.approx(m2b[k], rel=1e-6), k
+            assert m2[k] == pytest.approx(m1[k], rel=1e-3), k

@@ -331,8 +331,8 @@ class TestFusedSumConv:
 
         m = Fused()
         p = m.init(jax.random.PRNGKey(0), x, h)
-        k = p["params"]["c"]["kernel"]  # (3, 3, 8, 4)
-        b = p["params"]["c"]["bias"]
+        k = p["params"]["c__f3_5"]["kernel"]  # (3, 3, 8, 4)
+        b = p["params"]["c__f3_5"]["bias"]
         got = m.apply(p, x, h)
 
         def conv(inp, kern):
@@ -343,3 +343,39 @@ class TestFusedSumConv:
 
         want = conv(x, k[:, :, :3]) + conv(h, k[:, :, 3:]) + b
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+    def test_per_slice_init_statistics(self):
+        """Each input slice of the fused kernel starts with the variance of
+        the separate conv it replaces, under both flax init and
+        torch_style_init (ADVICE r2: a single fan_in = k*k*(c1+c2) draw
+        would start the narrow input branch ~sqrt((c1+c2)/c1)x too small)."""
+        import flax.linen as nn
+        from cinemri_tpu.models import torch_style_init
+        from cinemri_tpu.models.denoisers.crnn import fused_sum_conv
+
+        x = jnp.zeros((1, 32, 32, 2))
+        h = jnp.zeros((1, 32, 32, 64))
+
+        class Fused(nn.Module):
+            @nn.compact
+            def __call__(self, x, h):
+                return fused_sum_conv(64, 3, "c", x, h)
+
+        m = Fused()
+        p = m.init(jax.random.PRNGKey(0), x, h)
+        k = np.asarray(p["params"]["c__f2_64"]["kernel"])
+        # flax path: per-slice lecun_normal -> var = 1/(9*slice)
+        np.testing.assert_allclose(k[:, :, :2].var(), 1 / (9 * 2), rtol=0.3)
+        np.testing.assert_allclose(k[:, :, 2:].var(), 1 / (9 * 64), rtol=0.3)
+
+        pt = torch_style_init(p, jax.random.PRNGKey(1))
+        kt = np.asarray(pt["params"]["c__f2_64"]["kernel"])
+        # torch path: per-slice U(+-1/sqrt(9*slice)) -> var = bound^2/3
+        np.testing.assert_allclose(kt[:, :, :2].var(), 1 / (3 * 9 * 2), rtol=0.3)
+        np.testing.assert_allclose(kt[:, :, 2:].var(), 1 / (3 * 9 * 64), rtol=0.3)
+        assert np.abs(kt[:, :, :2]).max() <= 1 / np.sqrt(9 * 2) + 1e-7
+        assert np.abs(kt[:, :, 2:]).max() <= 1 / np.sqrt(9 * 64) + 1e-7
+        # bias: sum of two per-conv uniform draws
+        bt = np.asarray(pt["params"]["c__f2_64"]["bias"])
+        assert np.abs(bt).max() <= 1 / np.sqrt(9 * 2) + 1 / np.sqrt(9 * 64)
+        assert bt.var() > 0

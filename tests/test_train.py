@@ -200,6 +200,59 @@ class TestEndToEnd:
         assert len(history) == 1
         assert int(t2.state.step) > step_after
 
+    def test_resume_is_bit_identical(self, data_root, tmp_path):
+        """Interrupt-and-resume must reproduce the uninterrupted run exactly:
+        the checkpoint tree carries params + opt state + step + PRNG key
+        (SURVEY §5), and masks are fname-seeded here, so epoch 3 of a 2+1
+        resumed run replays the straight 3-epoch run bit for bit."""
+
+        def run(ckpt_dir, epochs, resume=False):
+            cfg = TrainerConfig(
+                epochs=epochs, lr=1e-3, ckpt_dir=ckpt_dir,
+                compute_train_metrics=False, config_fingerprint="cafe0123",
+            )
+            t = Trainer(
+                build_model("varnet", "2D", **TINY),
+                cfg,
+                train_loader=_loader(data_root, "train", tmp_path),
+            )
+            t.fit(resume=resume)
+            return t
+
+        straight = run(tmp_path / "bit_a", 3)
+        run(tmp_path / "bit_b", 2)
+        resumed = run(tmp_path / "bit_b", 3, resume=True)
+
+        leaves_a = jax.tree.leaves(straight.state.params)
+        leaves_b = jax.tree.leaves(resumed.state.params)
+        for a, b in zip(leaves_a, leaves_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # the restored PRNG key equals the saved one
+        np.testing.assert_array_equal(
+            np.asarray(straight.rng), np.asarray(resumed.rng)
+        )
+
+    def test_restore_rejects_mismatched_fingerprint(self, data_root, tmp_path):
+        cfg = TrainerConfig(
+            epochs=1, lr=1e-3, ckpt_dir=tmp_path / "fp",
+            compute_train_metrics=False, config_fingerprint="aaaaaaaa",
+        )
+        t1 = Trainer(
+            build_model("varnet", "2D", **TINY), cfg,
+            train_loader=_loader(data_root, "train", tmp_path),
+        )
+        t1.fit()
+        cfg2 = TrainerConfig(
+            epochs=2, lr=1e-3, ckpt_dir=tmp_path / "fp",
+            compute_train_metrics=False, config_fingerprint="bbbbbbbb",
+        )
+        t2 = Trainer(
+            build_model("varnet", "2D", **TINY), cfg2,
+            train_loader=_loader(data_root, "train", tmp_path),
+        )
+        with pytest.raises(ValueError, match="fingerprint"):
+            t2.fit(resume=True)
+
 
 class TestCheckpointRetention:
     def test_latest_kept_even_when_not_best(self, tmp_path):
@@ -398,3 +451,67 @@ class TestCompileCache:
             assert jax.config.jax_compilation_cache_dir == str(p)
         finally:
             jax.config.update("jax_compilation_cache_dir", before)
+
+
+class TestParallelDecode:
+    """Loader num_workers>1: thread-pool decode (VERDICT r2 #9)."""
+
+    @pytest.fixture(scope="class")
+    def pd_root(self, tmp_path_factory):
+        root = tmp_path_factory.mktemp("pdecode")
+        return make_synthetic_dataset(
+            root, splits=("train",), volumes_per_split=4, num_frames=4,
+            num_coils=3, h=32, w=32,
+        )
+
+    def _ds(self, pd_root, tmp_path):
+        return SliceDataset(
+            pd_root / "train",
+            transform=VarNetDataTransform(RandomMask([6], [2]), use_seed=False),
+            maps_cache_dir=tmp_path / "pd_maps",
+        )
+
+    def test_parallel_epoch_is_deterministic(self, pd_root, tmp_path):
+        mk = lambda: Loader(
+            self._ds(pd_root, tmp_path), batch_size=2, shuffle=True,
+            num_workers=4, prefetch_size=0,
+        )
+        e1 = list(mk().epoch(1))
+        e2 = list(mk().epoch(1))
+        assert len(e1) == len(e2) == 2
+        for b1, b2 in zip(e1, e2):
+            assert b1["fname"] == b2["fname"]
+            np.testing.assert_array_equal(b1["mask"], b2["mask"])
+            np.testing.assert_array_equal(b1["masked_kspace"], b2["masked_kspace"])
+        # a different epoch draws different masks (use_seed=False semantics)
+        e3 = list(mk().epoch(2))
+        assert any(
+            not np.array_equal(a["mask"], b["mask"]) for a, b in zip(e1, e3)
+        )
+
+    def test_parallel_matches_serial_sample_order(self, pd_root, tmp_path):
+        serial = Loader(
+            self._ds(pd_root, tmp_path), batch_size=2, shuffle=True, num_workers=1,
+            prefetch_size=0,
+        )
+        parallel = Loader(
+            self._ds(pd_root, tmp_path), batch_size=2, shuffle=True, num_workers=3,
+            prefetch_size=0,
+        )
+        bs = list(serial.epoch(0))
+        bp = list(parallel.epoch(0))
+        assert [b["fname"] for b in bs] == [b["fname"] for b in bp]
+        for a, b in zip(bs, bp):
+            # same examples and targets; masks may differ (per-sample seeds
+            # vs the sequential stream — both deterministic draws)
+            np.testing.assert_array_equal(a["target"], b["target"])
+            np.testing.assert_array_equal(a["sample_weight"], b["sample_weight"])
+
+
+class TestLossWeighting:
+    def test_epoch_loss_weights_by_real_samples(self):
+        agg = MetricsAggregator()
+        agg.add_loss(1.0, 3)   # batch of 3 real samples
+        agg.add_loss(0.0, 1)   # final batch: 1 real sample
+        assert agg.loss_value() == pytest.approx(0.75)
+        assert agg.compute()["loss"] == pytest.approx(0.75)
