@@ -2,7 +2,7 @@
 the available accelerator at the reference's flagship configs.
 
 Prints one JSON line per config: volume latency + frames/sec.
-Usage: python bench/all_models.py [--full]
+Usage: python bench/all_models.py [--full] [--packed] [--only varnet-3D,...]
 """
 
 import argparse
@@ -35,7 +35,7 @@ def _mfu(jitted, args, seconds: float):
     return round(flops / seconds / peak, 4) if flops > 0 else None
 
 
-def main(full: bool = False):
+def main(full: bool = False, packed: bool = False, only: str = ""):
     import jax
 
     from cinemri_tpu.utils.compile_cache import enable_compile_cache
@@ -77,7 +77,15 @@ def main(full: bool = False):
                                   n_filters_per_scale=(16, 32, 64), n_primal=5)),
         ]
 
+    wanted = {s.strip() for s in only.split(",") if s.strip()}
     for family, dyn, kwargs in configs:
+        name = f"{family}-{dyn}"
+        if wanted and name not in wanted:
+            continue
+        if packed and family in ("varnet", "cinenet") and not (
+            family == "cinenet" and dyn == "CRNN"
+        ):
+            kwargs = dict(kwargs, packed=True)
         try:
             model = build_model(family, dyn, **kwargs)
             args = (km, mask, sens) if family == "cinenet" else (km, mask)
@@ -95,17 +103,21 @@ def main(full: bool = False):
             float(vals[-1])  # sync on the final scalar
             best = (time.perf_counter() - t0) / n
             print(json.dumps({
-                "model": f"{family}-{dyn}",
+                "model": name + ("-packed" if kwargs.get("packed") else ""),
                 "volume_ms": round(best * 1000, 2),
                 "frames_per_sec": round(T / best, 1),
                 "compile_s": round(compile_s, 1),
                 "mfu": _mfu(fwd_sum, (params, *args), best),
             }), flush=True)
         except Exception as e:  # keep the sweep going
-            print(json.dumps({"model": f"{family}-{dyn}", "error": str(e)[:200]}), flush=True)
+            print(json.dumps({"model": name, "error": str(e)[:200]}), flush=True)
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true")
-    main(ap.parse_args().full)
+    ap.add_argument("--packed", action="store_true",
+                    help="space-to-depth denoisers for varnet/cinenet")
+    ap.add_argument("--only", default="", help="comma-separated model-dyn list")
+    a = ap.parse_args()
+    main(a.full, a.packed, a.only)

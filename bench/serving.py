@@ -1,0 +1,107 @@
+"""Serving-artifact benchmark (VERDICT r2 #8).
+
+Measures the deployment path end to end: export a weight-baked StableHLO
+artifact (serve.export_model), then time artifact size, deserialize
+(load) time, first-call latency, and steady-state throughput — against the
+in-process jitted model. The reference has no serving story at all (its
+.ckpt requires the full source tree, train_test_varnet.py:107-109).
+
+Prints one JSON line. Usage: python bench/serving.py [--model varnet-XF]
+"""
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main(model_name: str = "varnet-XF", packed: bool = True):
+    import jax
+
+    from cinemri_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    import jax.numpy as jnp
+
+    from cinemri_tpu.data.masks import RandomMask
+    from cinemri_tpu.models import build_model
+    from cinemri_tpu.ops.cplx import from_complex
+    from cinemri_tpu.serve import export_model, load_exported
+
+    T, C, H, W = 15, 10, 200, 200
+    rng = np.random.default_rng(0)
+    k = (
+        rng.standard_normal((1, T, C, H, W))
+        + 1j * rng.standard_normal((1, T, C, H, W))
+    ).astype(np.complex64)
+    mask_np = RandomMask([10], [4])(T, H, seed=0)[None]
+    km = from_complex(k * mask_np)
+    mask = jnp.asarray(mask_np.astype(np.float32))
+
+    family, dyn = model_name.split("-")
+    kwargs = {
+        "varnet": dict(num_cascades=10, sens_chans=8, sens_pools=3, chans=16, pools=3),
+        "cinenet": dict(num_cascades=10, cg_iters=6, chans=16, pools=3),
+    }[family]
+    if packed:
+        kwargs["packed"] = True
+    model = build_model(family, dyn, **kwargs)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), km, mask)
+
+    # in-process reference timing
+    fwd_sum = jax.jit(lambda p, kk, mm: jnp.sum(model.apply(p, kk, mm)))
+    float(fwd_sum(params, km, mask))
+    n = 20
+    t0 = time.perf_counter()
+    vals = [fwd_sum(params, km, mask) for _ in range(n)]
+    float(vals[-1])
+    inproc_s = (time.perf_counter() - t0) / n
+
+    # export
+    path = Path(tempfile.mkdtemp(prefix="serve_")) / "model.stablehlo"
+    t0 = time.perf_counter()
+    blob = export_model(model, params, km, mask, path=path)
+    export_s = time.perf_counter() - t0
+
+    # load + first call + steady state (fresh callable, cold program)
+    t0 = time.perf_counter()
+    fn = load_exported(path)
+    load_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = fn(km.re, km.im, mask)
+    out = jax.tree.leaves(out)[0]
+    float(jnp.sum(out))
+    first_call_s = time.perf_counter() - t0
+    served_sum = jax.jit(lambda kre, kim, mm: jnp.sum(
+        jax.tree.leaves(fn(kre, kim, mm))[0]
+    ))
+    float(served_sum(km.re, km.im, mask))
+    t0 = time.perf_counter()
+    vals = [served_sum(km.re, km.im, mask) for _ in range(n)]
+    float(vals[-1])
+    served_s = (time.perf_counter() - t0) / n
+
+    print(json.dumps({
+        "model": model_name + ("-packed" if packed else ""),
+        "artifact_mb": round(len(blob) / 1e6, 1),
+        "export_s": round(export_s, 1),
+        "load_s": round(load_s, 3),
+        "first_call_s": round(first_call_s, 1),
+        "inproc_fps": round(T / inproc_s, 1),
+        "served_fps": round(T / served_s, 1),
+        "served_vs_inproc": round(inproc_s / served_s, 3),
+    }))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="varnet-XF")
+    ap.add_argument("--no-packed", action="store_true")
+    a = ap.parse_args()
+    main(a.model, packed=not a.no_packed)

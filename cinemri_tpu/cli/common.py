@@ -81,6 +81,18 @@ def build_parser(family: str) -> argparse.ArgumentParser:
                    help="precomputed-kernel data consistency (zero per-cascade "
                         "DFTs, physics.soft_dc_image_kernel); 0 = the "
                         "reference's direct k-space formulation")
+    p.add_argument("--packed", default=1, choices=(0, 1), type=int,
+                   help="space-to-depth lane packing of the U-Net conv "
+                        "stacks (denoisers/packed_unet.py) — numerically "
+                        "identical, same checkpoints, removes the TPU "
+                        "lane-padding HBM tax at 16-channel widths "
+                        "(varnet/cinenet families)")
+    p.add_argument("--bf16", default=0, choices=(0, 1), type=int,
+                   help="bfloat16 denoiser activations (params/optimizer/"
+                        "DC/loss stay f32) — ~halves activation HBM "
+                        "traffic; NOT bit-exact, quality certified by the "
+                        "bf16 parity rows in BASELINE.md "
+                        "(varnet/cinenet families)")
 
     # mask args (train_test_varnet.py:208-229)
     p.add_argument("--mask_type", default="random", choices=("random", "equispaced"))
@@ -221,6 +233,12 @@ def _build_model_from_args(family: str, args) -> object:
                       n_dual=args.n_dual, weight_sharing=args.weight_sharing)
         )
     kwargs["kernel_dc"] = bool(args.kernel_dc)
+    if family in ("varnet", "cinenet"):
+        if not (family == "cinenet" and args.dynamic_type == "CRNN"):
+            # XPDNet (MWCNN denoiser) and CineNetRNN (no U-Net at all) have
+            # no packed path; VarNet/CineNet unrolled + VarNetRNN's sens do
+            kwargs["packed"] = bool(args.packed)
+        kwargs["bf16"] = bool(args.bf16)
     return build_model(family, args.dynamic_type, **kwargs)
 
 

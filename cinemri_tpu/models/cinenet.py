@@ -54,10 +54,15 @@ class CineNetCascade(nn.Module):
     dynamic_type: str = "XF"
     weight_sharing: bool = False
     plane_axis: str = ""  # sequence-parallel mesh axis (see VarNetCascade)
+    packed: bool = False  # space-to-depth denoisers (unet.Unet.packed)
+    dtype: jnp.dtype = jnp.float32  # denoiser activation dtype
 
     def _unet(self, name: str) -> Unet:
         dims = 3 if self.dynamic_type == "3D" else 2
-        return Unet(chans=self.chans, num_pool_layers=self.pools, dims=dims, name=name)
+        return Unet(
+            chans=self.chans, num_pool_layers=self.pools, dims=dims,
+            packed=self.packed, dtype=self.dtype, name=name,
+        )
 
     def _xfyf(self, x: jnp.ndarray) -> jnp.ndarray:
         """cinenet.py:176-220 — same rotation as VarNet but the plane nets
@@ -127,6 +132,11 @@ class CineNet(nn.Module):
     weight_sharing: bool = False
     remat: bool = True
     plane_axis: str = ""  # sequence-parallel mesh axis for XT/XF planes
+    # space-to-depth lane packing of the denoiser conv stacks — exact,
+    # same params (denoisers/packed_unet.py)
+    packed: bool = False
+    # bfloat16 denoiser activations (see VarNet.bf16); CG/DC stay f32
+    bf16: bool = False
     # Run the CG normal operator through the precomputed h-axis kernel
     # (physics.operators.masked_normal_kernel): one MXU matmul per CG apply
     # instead of the reference's full 2-D FFT pair per iteration
@@ -165,6 +175,8 @@ class CineNet(nn.Module):
             dynamic_type=self.dynamic_type,
             weight_sharing=self.weight_sharing,
             plane_axis=self.plane_axis,
+            packed=self.packed,
+            dtype=jnp.bfloat16 if self.bf16 else jnp.float32,
             name="cascades",
         )(image_ref, lam, image_ref, mask, sens_maps, dc_kernel)
 

@@ -61,7 +61,7 @@ def _sliced_lecun_normal(sizes):
     return init
 
 
-def fused_sum_conv(chans: int, kernel_size: int, name: str, *inputs):
+def fused_sum_conv(chans: int, kernel_size: int, name: str, *inputs, dtype=None):
     """``sum_i conv_i(inputs[i])`` as ONE conv over concatenated channels.
 
     Exact up to f32 summation order; one MXU pass instead of len(inputs)
@@ -76,8 +76,9 @@ def fused_sum_conv(chans: int, kernel_size: int, name: str, *inputs):
     as a sum of per-conv uniforms).
     """
     k = (kernel_size, kernel_size)
+    dt = dtype or jnp.float32
     if len(inputs) == 1:
-        return nn.Conv(chans, k, padding="SAME", name=name)(inputs[0])
+        return nn.Conv(chans, k, padding="SAME", dtype=dt, name=name)(inputs[0])
     sizes = tuple(int(x.shape[-1]) for x in inputs)
     cat = jnp.concatenate(inputs, axis=-1)
     full_name = f"{name}__f{'_'.join(str(s) for s in sizes)}"
@@ -85,6 +86,7 @@ def fused_sum_conv(chans: int, kernel_size: int, name: str, *inputs):
         chans,
         k,
         padding="SAME",
+        dtype=dt,
         name=full_name,
         kernel_init=_sliced_lecun_normal(sizes),
     )(cat)
@@ -97,6 +99,7 @@ class CRNNCell(nn.Module):
 
     hidden_size: int
     kernel_size: int = 3
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, hidden, inputs):
@@ -104,7 +107,7 @@ class CRNNCell(nn.Module):
         new_hidden = nn.relu(
             fused_sum_conv(
                 self.hidden_size, self.kernel_size, "i2h_h2h_ih2ih",
-                x, hidden, hidden_iteration,
+                x, hidden, hidden_iteration, dtype=self.dtype,
             )
         )
         return new_hidden, new_hidden
@@ -123,18 +126,22 @@ class BCRNN(nn.Module):
 
     hidden_size: int
     kernel_size: int = 3
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, hidden_iteration: jnp.ndarray) -> jnp.ndarray:
         t, b, h, w, _ = x.shape
-        h0 = jnp.zeros((b, h, w, self.hidden_size), x.dtype)
+        h0 = jnp.zeros((b, h, w, self.hidden_size), self.dtype)
+        x = x.astype(self.dtype)
+        hidden_iteration = hidden_iteration.astype(self.dtype)
         cell = nn.scan(
             CRNNCell,
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=0,
             out_axes=0,
-        )(hidden_size=self.hidden_size, kernel_size=self.kernel_size, name="cell")
+        )(hidden_size=self.hidden_size, kernel_size=self.kernel_size,
+          dtype=self.dtype, name="cell")
         _, out_f = cell(h0, (x, hidden_iteration))
         _, out_b = cell(h0, (x[::-1], hidden_iteration[::-1]))
         return out_f + out_b[::-1]

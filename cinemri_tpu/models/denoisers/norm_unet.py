@@ -49,6 +49,8 @@ class NormUnet(nn.Module):
     num_pools: int
     drop_prob: float = 0.0
     deterministic: bool = True
+    packed: bool = False  # space-to-depth lane packing (unet.Unet.packed)
+    dtype: jnp.dtype = jnp.float32  # conv-stack activation dtype (unet.Unet.dtype)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -65,6 +67,8 @@ class NormUnet(nn.Module):
             drop_prob=self.drop_prob,
             dims=2,
             deterministic=self.deterministic,
+            packed=self.packed,
+            dtype=self.dtype,
         )(r)
         r = unpad(r, spec, axes=(1, 2))
         r = r * std + mean
@@ -78,6 +82,8 @@ class NormUnet3D(nn.Module):
     num_pools: int
     drop_prob: float = 0.0
     deterministic: bool = True
+    packed: bool = False  # space-to-depth lane packing (unet.Unet.packed)
+    dtype: jnp.dtype = jnp.float32  # conv-stack activation dtype (unet.Unet.dtype)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -94,6 +100,8 @@ class NormUnet3D(nn.Module):
             drop_prob=self.drop_prob,
             dims=3,
             deterministic=self.deterministic,
+            packed=self.packed,
+            dtype=self.dtype,
         )(r)
         r = unpad(r, spec, axes=(1, 2, 3))
         r = r * std + mean

@@ -74,26 +74,53 @@ def choose_blocks(
 
     Level k has ``chans * 2**k`` channels over ``spatial / 2**k`` grids;
     each level packs dims (preferring the trailing spatial dims — h, w —
-    first) while the effective channel count stays below ``target_lanes``,
-    the dim's size at that level is even, and the parent level also packed
-    that dim (so the decoder's transpose conv only meets the
-    (1,1)/(1,2)/(2,2) per-dim cases).
+    first) while the effective channel count stays below ``target_lanes``
+    and the dim's size at that level divides the block.
+
+    Blocks may be 1, 2 or 4 per dim (4 covers e.g. CineNet-3D's odd t=15,
+    where the time axis can never pack and one spatial dim takes its
+    place). Between adjacent levels each dim's block satisfies
+    ``child in {parent, parent/2}`` so the decoder transpose conv has
+    packed stride 2*child/parent in {1, 2} (the two verified lax
+    conventions) and blocks stay monotone with depth.
     """
     d = len(spatial)
     order = list(order) if order is not None else list(range(d - 1, -1, -1))
     blocks = []
     sizes = list(spatial)
     ch = chans
-    parent = (2,) * d  # allow anything at the top level
+    parent = None
     for level in range(num_pool_layers + 1):
-        b = [1] * d
-        eff = ch
-        for dim in order:
-            if eff >= target_lanes:
-                break
-            if sizes[dim] % 2 == 0 and parent[dim] == 2:
-                b[dim] = 2
-                eff *= 2
+        if parent is None:
+            b = [1] * d
+            eff = ch
+            for cap in (2, 4):  # double in preference order, then escalate
+                for dim in order:
+                    if eff >= target_lanes:
+                        break
+                    if b[dim] * 2 <= cap and sizes[dim] % (b[dim] * 2) == 0:
+                        eff //= b[dim]
+                        b[dim] *= 2
+                        eff *= b[dim]
+        else:
+            # mandatory minimum parent/2 per dim; raise toward parent while
+            # below the lane target and the level size divides
+            b = [max(p // 2, 1) for p in parent]
+            eff = ch * block_size(tuple(b))
+            for dim in order:
+                while (
+                    eff < target_lanes
+                    and b[dim] * 2 <= parent[dim]
+                    and sizes[dim] % (b[dim] * 2) == 0
+                ):
+                    b[dim] *= 2
+                    eff *= 2
+        for dim in range(d):
+            if sizes[dim] % b[dim]:
+                raise ValueError(
+                    f"level {level}: size {sizes[dim]} not divisible by "
+                    f"mandatory block {b[dim]} (dim {dim})"
+                )
         blocks.append(tuple(b))
         parent = tuple(b)
         sizes = [s // 2 for s in sizes]
@@ -208,28 +235,32 @@ def _convt_phase_map(block_in: Block, block_out: Block) -> Tuple[np.ndarray, tup
     Returns (M[kp..., p_out, p_in, k...], kernel_sizes, strides) with the
     per-dim cases: (1,1) plain convT k2 s2; (1,2) phase-producing 1x1;
     (2,2) stride-2 k2 with in-phase slot routing.
+
+    lax.conv_transpose's VALID k=2 s=2 convention is ``y[2q+i] =
+    K[1-i] * x[q]`` (kernel spatially flipped; verified numerically), so
+    with stored index d the logical op is y[2q+(1-d)] = K[d] x[q] and the
+    packed slot/phase routing is: (1,2): K'[0, jout=1-d, 0] = K[d];
+    (2,2): K'[slot=1-jin, jout=1-d, jin] = K[d]. The (1,1) case uses the
+    same convention on both sides, so K' = K.
     """
     d = len(block_in)
     per_dim = []
     for bi, bo in zip(block_in, block_out):
-        if (bi, bo) == (1, 1):
-            m = np.zeros((2, 2, 1, 1), np.float32)  # (i, slot, jout, jin)
-            for i in range(2):
-                m[i, i, 0, 0] = 1.0
-            per_dim.append((m, 2, 2))
-        elif (bi, bo) == (1, 2):
-            m = np.zeros((2, 1, 2, 1), np.float32)
-            for i in range(2):
-                m[i, 0, i, 0] = 1.0
-            per_dim.append((m, 1, 1))
-        elif (bi, bo) == (2, 2):
-            m = np.zeros((2, 2, 2, 2), np.float32)
-            for i in range(2):
-                for jin in range(2):
-                    m[i, jin, i, jin] = 1.0
-            per_dim.append((m, 2, 2))
-        else:
+        # general per-dim routing for bo in {bi, 2bi} (choose_blocks
+        # guarantees this): with the lax flip convention y[2q+i] =
+        # K[1-i] x[q], the packed op has stride/kernel s' = 2bi/bo and
+        # input (Q, jin) feeds output value index v = 2*jin + i at
+        # (rho = v//bo, jout = v%bo), stored at slot s'-1-rho, tap 1-i.
+        if bo not in (bi, 2 * bi):
             raise ValueError(f"unsupported convT block pair {(bi, bo)}")
+        sp = 2 * bi // bo
+        m = np.zeros((2, sp, bo, bi), np.float32)  # (d, slot, jout, jin)
+        for jin in range(bi):
+            for i in range(2):
+                v = 2 * jin + i
+                rho, jout = v // bo, v % bo
+                m[1 - i, sp - 1 - rho, jout, jin] = 1.0
+        per_dim.append((m, sp, sp))
     Bi, Bo = block_size(block_in), block_size(block_out)
     ksizes = tuple(p[1] for p in per_dim)
     strides = tuple(p[2] for p in per_dim)
@@ -279,6 +310,7 @@ def packed_conv(
     kernel: jnp.ndarray,
     bias: jnp.ndarray | None,
     block: Block,
+    dtype=None,
 ) -> jnp.ndarray:
     """k-SAME conv on the packed representation (same block in and out)."""
     import jax
@@ -288,13 +320,16 @@ def packed_conv(
     m = _conv_phase_map(tuple(block), ksizes)
     kp = m.shape[:d]
     kprime = _assemble(kernel, m, d)
+    if dtype is not None:
+        x = x.astype(dtype)
+        kprime = kprime.astype(dtype)
     pads = [((k - 1) // 2, k - 1 - (k - 1) // 2) for k in kp]
     dn = ("NHWC", "HWIO", "NHWC") if d == 2 else ("NDHWC", "DHWIO", "NDHWC")
     out = jax.lax.conv_general_dilated(
         x, kprime, (1,) * d, pads, dimension_numbers=dn
     )
     if bias is not None:
-        out = out + jnp.repeat(bias, block_size(block))
+        out = out + jnp.repeat(bias, block_size(block)).astype(out.dtype)
     return out
 
 
@@ -304,6 +339,7 @@ def packed_conv_transpose(
     bias: jnp.ndarray | None,
     block_in: Block,
     block_out: Block,
+    dtype=None,
 ) -> jnp.ndarray:
     """k=2 s=2 VALID transpose conv: packed block_in -> packed block_out."""
     import jax
@@ -311,21 +347,27 @@ def packed_conv_transpose(
     d = len(block_in)
     m, ksizes, strides = _convt_phase_map(tuple(block_in), tuple(block_out))
     kprime = _assemble(kernel, m, d)
+    if dtype is not None:
+        x = x.astype(dtype)
+        kprime = kprime.astype(dtype)
     dn = ("NHWC", "HWIO", "NHWC") if d == 2 else ("NDHWC", "DHWIO", "NDHWC")
     out = jax.lax.conv_transpose(
         x, kprime, strides, "VALID", dimension_numbers=dn
     )
     if bias is not None:
-        out = out + jnp.repeat(bias, block_size(block_out))
+        out = out + jnp.repeat(bias, block_size(block_out)).astype(out.dtype)
     return out
 
 
 def packed_group_norm(x: jnp.ndarray, logical_channels: int) -> jnp.ndarray:
     """InstanceNorm(affine=False) on the packed rep: one group per logical
-    channel (= its contiguous phase block), eps matching unet._instance_norm."""
-    return nn.GroupNorm(
+    channel (= its contiguous phase block), eps matching unet._instance_norm.
+    Statistics in f32; output keeps the activation dtype."""
+    dt = x.dtype
+    y = nn.GroupNorm(
         num_groups=logical_channels, epsilon=1e-5, use_bias=False, use_scale=False
-    )(x)
+    )(x.astype(jnp.float32))
+    return y.astype(dt)
 
 
 def packed_avg_pool_2x(
@@ -364,6 +406,7 @@ class PackedConv(nn.Module):
     kernel_size: Tuple[int, ...]
     block: Block
     use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -378,7 +421,7 @@ class PackedConv(nn.Module):
             if self.use_bias
             else None
         )
-        return packed_conv(x, kernel, bias, self.block)
+        return packed_conv(x, kernel, bias, self.block, dtype=self.dtype)
 
 
 class PackedConvTranspose(nn.Module):
@@ -388,6 +431,7 @@ class PackedConvTranspose(nn.Module):
     block_in: Block
     block_out: Block
     use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -403,4 +447,6 @@ class PackedConvTranspose(nn.Module):
             if self.use_bias
             else None
         )
-        return packed_conv_transpose(x, kernel, bias, self.block_in, self.block_out)
+        return packed_conv_transpose(
+            x, kernel, bias, self.block_in, self.block_out, dtype=self.dtype
+        )

@@ -61,31 +61,33 @@ class CRNNTrunk(nn.Module):
     chans: int
     in_ch: int = 2
     out_ch: int = 2
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x_in, hiddens):
         h0, h1, h2, h3 = hiddens
         t, b, h, w, _ = x_in.shape
+        dt = self.dtype
 
-        x0 = BCRNN(self.chans, name="bcrnn")(x_in, h0)
+        x0 = BCRNN(self.chans, dtype=dt, name="bcrnn")(x_in, h0)
         x0f = x0.reshape(t * b, h, w, self.chans)
 
         # each conv(x) + conv(h) pair (recurrent_varnet.py:126-141) is one
         # fused conv over concatenated channels — exact math, half the
         # padded MXU passes at chans~16 (see denoisers.crnn.fused_sum_conv)
-        x1 = nn.relu(fused_sum_conv(self.chans, 3, "conv1_xh", x0f, h1))
-        x2 = nn.relu(fused_sum_conv(self.chans, 3, "conv2_xh", x1, h2))
-        x3 = nn.relu(fused_sum_conv(self.chans, 3, "conv3_xh", x2, h3))
-        x4 = nn.Conv(self.out_ch, (3, 3), padding="SAME", name="conv4_x")(x3)
-        return x4, (x0, x1, x2, x3)
+        x1 = nn.relu(fused_sum_conv(self.chans, 3, "conv1_xh", x0f, h1, dtype=dt))
+        x2 = nn.relu(fused_sum_conv(self.chans, 3, "conv2_xh", x1, h2, dtype=dt))
+        x3 = nn.relu(fused_sum_conv(self.chans, 3, "conv3_xh", x2, h3, dtype=dt))
+        x4 = nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=dt, name="conv4_x")(x3)
+        return x4.astype(jnp.float32), (x0, x1, x2, x3)
 
 
-def _zero_hiddens(t: int, b: int, h: int, w: int, chans: int):
+def _zero_hiddens(t: int, b: int, h: int, w: int, chans: int, dtype=jnp.float32):
     return (
-        jnp.zeros((t, b, h, w, chans), jnp.float32),
-        jnp.zeros((t * b, h, w, chans), jnp.float32),
-        jnp.zeros((t * b, h, w, chans), jnp.float32),
-        jnp.zeros((t * b, h, w, chans), jnp.float32),
+        jnp.zeros((t, b, h, w, chans), dtype),
+        jnp.zeros((t * b, h, w, chans), dtype),
+        jnp.zeros((t * b, h, w, chans), dtype),
+        jnp.zeros((t * b, h, w, chans), dtype),
     )
 
 
@@ -101,13 +103,16 @@ def _tb_to_image(r: jnp.ndarray):
 
 class _VarNetRNNStep(nn.Module):
     chans: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, carry, ref, mask, sens_maps, dc_kernel, rss0=None):
         x, hiddens = carry
         b, t, h, w = x.shape
         x_in = _image_to_tb(x)  # (t, b, h, w, 2)
-        x4, hiddens = CRNNTrunk(self.chans, name="trunk")(x_in, hiddens)
+        x4, hiddens = CRNNTrunk(self.chans, dtype=self.dtype, name="trunk")(
+            x_in, hiddens
+        )
         out = x_in.reshape(t * b, h, w, 2) + x4.reshape(t * b, h, w, 2)
         out_img = _tb_to_image(out.reshape(t, b, h, w, 2))
 
@@ -133,16 +138,20 @@ class VarNetRNN(nn.Module):
     chans: int = 18
     remat: bool = True
     kernel_dc: bool = True  # see VarNet.kernel_dc
+    packed: bool = False  # space-to-depth sens-model denoiser
+    bf16: bool = False  # bfloat16 trunk activations (see VarNet.bf16)
 
     @nn.compact
     def __call__(self, ref_kspace: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-        sens_maps = SensitivityModel(self.sens_chans, self.sens_pools, name="sens_net")(
-            ref_kspace, mask
-        )
+        dtype = jnp.bfloat16 if self.bf16 else jnp.float32
+        sens_maps = SensitivityModel(
+            self.sens_chans, self.sens_pools, packed=self.packed,
+            dtype=dtype, name="sens_net"
+        )(ref_kspace, mask)
         x_ref = sens_reduce(ref_kspace, sens_maps)  # (b, t, 1, h, w)
         x = x_ref[:, :, 0]
         b, t, h, w = x.shape
-        hiddens = _zero_hiddens(t, b, h, w, self.chans)
+        hiddens = _zero_hiddens(t, b, h, w, self.chans, dtype)
 
         use_kernel = self.kernel_dc and is_line_mask(mask)
         dc_kernel = masked_normal_kernel(mask) if use_kernel else None
@@ -157,7 +166,7 @@ class VarNetRNN(nn.Module):
             in_axes=(nn.broadcast,) * 5,
             length=self.num_cascades,
         )
-        (x, _), _ = scan(chans=self.chans, name="iterations")(
+        (x, _), _ = scan(chans=self.chans, dtype=dtype, name="iterations")(
             (x, hiddens), ref, mask, sens_maps, dc_kernel, rss0
         )
         return x.abs()
@@ -166,13 +175,16 @@ class VarNetRNN(nn.Module):
 class _CineNetRNNStep(nn.Module):
     chans: int
     cg_iters: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, carry, x_ref, mask, sens_maps, dc_kernel):
         x, hiddens = carry
         b, t, h, w = x.shape
         x_in = _image_to_tb(x)
-        x4, hiddens = CRNNTrunk(self.chans, name="trunk")(x_in, hiddens)
+        x4, hiddens = CRNNTrunk(self.chans, dtype=self.dtype, name="trunk")(
+            x_in, hiddens
+        )
         out = x_in.reshape(t * b, h, w, 2) + x4.reshape(t * b, h, w, 2)
         out_img = _tb_to_image(out.reshape(t, b, h, w, 2))[:, :, None]  # (b,t,1,h,w)
 
@@ -196,15 +208,17 @@ class CineNetRNN(nn.Module):
     chans: int = 64
     remat: bool = True
     kernel_dc: bool = True  # see CineNet.kernel_dc
+    bf16: bool = False  # bfloat16 trunk activations (see VarNet.bf16)
 
     @nn.compact
     def __call__(
         self, ref_kspace: jnp.ndarray, mask: jnp.ndarray, sens_maps: jnp.ndarray
     ) -> jnp.ndarray:
+        dtype = jnp.bfloat16 if self.bf16 else jnp.float32
         x_ref = sens_reduce(ref_kspace, sens_maps)  # (b, t, 1, h, w)
         x = x_ref[:, :, 0]
         b, t, h, w = x.shape
-        hiddens = _zero_hiddens(t, b, h, w, self.chans)
+        hiddens = _zero_hiddens(t, b, h, w, self.chans, dtype)
         dc_kernel = (
             masked_normal_kernel(mask)
             if self.kernel_dc and is_line_mask(mask)
@@ -219,9 +233,10 @@ class CineNetRNN(nn.Module):
             in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
             length=self.num_cascades,
         )
-        (x, _), _ = scan(chans=self.chans, cg_iters=self.cg_iters, name="iterations")(
-            (x, hiddens), x_ref, mask, sens_maps, dc_kernel
-        )
+        (x, _), _ = scan(
+            chans=self.chans, cg_iters=self.cg_iters, dtype=dtype,
+            name="iterations",
+        )((x, hiddens), x_ref, mask, sens_maps, dc_kernel)
         return x.abs()
 
 

@@ -62,6 +62,8 @@ class SensitivityModel(nn.Module):
 
     chans: int
     num_pools: int
+    packed: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, masked_kspace: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -72,7 +74,9 @@ class SensitivityModel(nn.Module):
         x = jax.vmap(lowfreq)(masked_kspace, mask)  # (b, c, h, w)
         x = ifft2c(x)
         b, c, h, w = x.shape
-        x = NormUnet(self.chans, self.num_pools)(x.reshape(b * c, h, w))
+        x = NormUnet(
+            self.chans, self.num_pools, packed=self.packed, dtype=self.dtype
+        )(x.reshape(b * c, h, w))
         x = x.reshape(b, c, h, w)
         x = x / rss_complex(x, axis=1)[:, None]
         return x[:, None]  # (b, 1, c, h, w)
@@ -95,6 +99,8 @@ class VarNetCascade(nn.Module):
     dynamic_type: str = "XF"
     weight_sharing: bool = False
     plane_axis: str = ""
+    packed: bool = False  # space-to-depth denoisers (unet.Unet.packed)
+    dtype: jnp.dtype = jnp.float32  # denoiser activation dtype
 
     def _xfyf(self, x: jnp.ndarray) -> jnp.ndarray:
         """Rotated-plane regularization (varnet.py:196-241): temporal-mean
@@ -115,11 +121,14 @@ class VarNetCascade(nn.Module):
             xf = jax.lax.with_sharding_constraint(xf, spec)
             yf = jax.lax.with_sharding_constraint(yf, spec)
         if self.weight_sharing:
-            net = NormUnet(self.chans, self.pools, name="plane_net")
+            net = NormUnet(self.chans, self.pools, packed=self.packed,
+                           dtype=self.dtype, name="plane_net")
             xf, yf = net(xf), net(yf)
         else:
-            xf = NormUnet(self.chans, self.pools, name="net_xf")(xf)
-            yf = NormUnet(self.chans, self.pools, name="net_yf")(yf)
+            xf = NormUnet(self.chans, self.pools, packed=self.packed,
+                          dtype=self.dtype, name="net_xf")(xf)
+            yf = NormUnet(self.chans, self.pools, packed=self.packed,
+                          dtype=self.dtype, name="net_yf")(yf)
         xf = xf.reshape(b, h, w, t).transpose(0, 3, 1, 2)
         yf = yf.reshape(b, w, h, t).transpose(0, 3, 2, 1)
         out = 0.5 * (xf + yf)
@@ -145,12 +154,16 @@ class VarNetCascade(nn.Module):
         elif self.dynamic_type == "2D":
             # fold t into batch: per-frame static reconstruction
             # (varnet.py:259-268)
-            out = NormUnet(self.chans, self.pools, name="net")(
+            out = NormUnet(self.chans, self.pools, packed=self.packed,
+                           dtype=self.dtype, name="net")(
                 image.reshape(b * t, h, w)
             )
             model_out = out.reshape(b, t, h, w)
         elif self.dynamic_type == "3D":
-            model_out = NormUnet3D(self.chans, self.pools, name="net")(image)
+            model_out = NormUnet3D(
+                self.chans, self.pools, packed=self.packed,
+                dtype=self.dtype, name="net"
+            )(image)
         else:
             raise ValueError(f"unknown dynamic_type {self.dynamic_type}")
 
@@ -178,6 +191,13 @@ class VarNet(nn.Module):
     weight_sharing: bool = False
     remat: bool = True
     plane_axis: str = ""  # sequence-parallel mesh axis for XT/XF planes
+    # space-to-depth lane packing of every denoiser conv stack — exact,
+    # same params (denoisers/packed_unet.py)
+    packed: bool = False
+    # bfloat16 denoiser activations: params/optimizer/DC/loss stay f32,
+    # conv-stack activations halve their HBM bytes. Not bit-exact —
+    # quality certified by the bf16 rows of bench/parity_head_to_head.py
+    bf16: bool = False
     # image-space cascades through the precomputed DC kernel (see
     # physics.soft_dc_image_kernel) — numerically identical to the direct
     # k-space form; auto-falls back for non-line masks
@@ -190,9 +210,11 @@ class VarNet(nn.Module):
                 f"dynamic_type must be one of {DYNAMIC_TYPES} (CRNN is "
                 "models.recurrent.VarNetRNN)"
             )
-        sens_maps = SensitivityModel(self.sens_chans, self.sens_pools, name="sens_net")(
-            masked_kspace, mask
-        )
+        dtype = jnp.bfloat16 if self.bf16 else jnp.float32
+        sens_maps = SensitivityModel(
+            self.sens_chans, self.sens_pools, packed=self.packed,
+            dtype=dtype, name="sens_net"
+        )(masked_kspace, mask)
         lam = self.param("lambda_reg", lambda_init, (self.num_cascades,))
 
         use_kernel = self.kernel_dc and is_line_mask(mask)
@@ -218,6 +240,8 @@ class VarNet(nn.Module):
             dynamic_type=self.dynamic_type,
             weight_sharing=self.weight_sharing,
             plane_axis=self.plane_axis,
+            packed=self.packed,
+            dtype=dtype,
             name="cascades",
         )(carry0, lam, ref, mask, sens_maps, dc_kernel, rss0)
 

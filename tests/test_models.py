@@ -379,3 +379,105 @@ class TestFusedSumConv:
         bt = np.asarray(pt["params"]["c__f2_64"]["bias"])
         assert np.abs(bt).max() <= 1 / np.sqrt(9 * 2) + 1 / np.sqrt(9 * 64)
         assert bt.var() > 0
+
+
+class TestPackedUnet:
+    """Space-to-depth execution must be numerically identical to the plain
+    Unet under the SAME parameter tree (denoisers/packed_unet.py)."""
+
+    def _compare(self, dims, shape, chans=16, pools=3, seed=0, tol=2e-4):
+        import flax.linen as nn
+        from cinemri_tpu.models.denoisers.unet import Unet
+
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.standard_normal((2,) + shape + (2,)).astype(np.float32))
+        plain = Unet(chans=chans, num_pool_layers=pools, dims=dims)
+        packed = Unet(chans=chans, num_pool_layers=pools, dims=dims, packed=True)
+        p = plain.init(jax.random.PRNGKey(seed), x)
+        p2 = packed.init(jax.random.PRNGKey(seed), x)
+        # identical param trees (paths AND shapes) -> interchangeable ckpts
+        flat1 = jax.tree_util.tree_flatten_with_path(p)[0]
+        flat2 = jax.tree_util.tree_flatten_with_path(p2)[0]
+        assert [(k, v.shape) for k, v in flat1] == [(k, v.shape) for k, v in flat2]
+        a = np.asarray(plain.apply(p, x))
+        b = np.asarray(packed.apply(p, x))
+        scale = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(a / scale, b / scale, atol=tol)
+
+    def test_3d_even_dims(self):
+        self._compare(3, (16, 32, 32))
+
+    def test_3d_odd_time(self):
+        # CineNet's raw 3-D U-Net sees unpadded t=15-style inputs: odd dims
+        # stay unpacked and exercise the decoder's trailing-pad fix
+        self._compare(3, (7, 32, 24), pools=2)
+
+    def test_3d_odd_everything(self):
+        self._compare(3, (5, 25, 30), pools=2)
+
+    def test_2d(self):
+        self._compare(2, (48, 48))
+
+    def test_2d_odd(self):
+        self._compare(2, (50, 35), pools=3)
+
+    def test_gradients_match(self):
+        from cinemri_tpu.models.denoisers.unet import Unet
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((1, 8, 16, 16, 2)).astype(np.float32))
+        plain = Unet(chans=8, num_pool_layers=2, dims=3)
+        packed = Unet(chans=8, num_pool_layers=2, dims=3, packed=True)
+        p = plain.init(jax.random.PRNGKey(0), x)
+        g1 = jax.grad(lambda q: jnp.sum(plain.apply(q, x) ** 2))(p)
+        g2 = jax.grad(lambda q: jnp.sum(packed.apply(q, x) ** 2))(p)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            s = np.abs(np.asarray(a)).max() + 1e-12
+            np.testing.assert_allclose(
+                np.asarray(a) / s, np.asarray(b) / s, atol=5e-4
+            )
+
+
+class TestPackedModels:
+    """packed=True must reproduce the unpacked models exactly under the
+    same params (the flag changes execution layout, not math)."""
+
+    @pytest.mark.parametrize("family,dyn", [
+        ("varnet", "3D"), ("varnet", "XF"), ("varnet", "2D"),
+        ("cinenet", "3D"), ("cinenet", "XT"),
+    ])
+    def test_packed_matches_plain(self, family, dyn, batch):
+        kwargs = dict(SMALL[family])
+        plain = build_model(family, dyn, **kwargs)
+        packed = build_model(family, dyn, packed=True, **kwargs)
+        params, out_plain = _apply(plain, family, batch)
+        _, out_packed = _apply(packed, family, batch, params)
+        a, b = np.asarray(out_plain), np.asarray(out_packed)
+        s = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(a / s, b / s, atol=5e-4)
+
+
+class TestBf16Mode:
+    """bf16 activation mode: close to f32 outputs, f32 params/grads."""
+
+    @pytest.mark.parametrize("family,dyn", [
+        ("varnet", "XF"), ("varnet", "3D"), ("varnet", "CRNN"),
+        ("cinenet", "3D"), ("cinenet", "CRNN"),
+    ])
+    def test_bf16_close_and_f32_grads(self, family, dyn, batch):
+        kwargs = dict(CRNN_SMALL[family] if dyn == "CRNN" else SMALL[family])
+        plain = build_model(family, dyn, **kwargs)
+        half = build_model(family, dyn, bf16=True, **kwargs)
+        params, out_plain = _apply(plain, family, batch)
+        _, out_half = _apply(half, family, batch, params)
+        a, b = np.asarray(out_plain), np.asarray(out_half)
+        assert b.dtype == np.float32
+        s = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(a / s, b / s, atol=0.05)
+        assert np.abs(a - b).mean() / s < 5e-3  # close on average
+
+        k, m, sens = batch
+        args = (k, m, sens) if family == "cinenet" else (k, m)
+        g = jax.grad(lambda p: jnp.sum(half.apply(p, *args)))(params)
+        for leaf in jax.tree.leaves(g):
+            assert leaf.dtype == jnp.float32
