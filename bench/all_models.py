@@ -35,7 +35,7 @@ def _mfu(jitted, args, seconds: float):
     return round(flops / seconds / peak, 4) if flops > 0 else None
 
 
-def main(full: bool = False, packed: bool = False, only: str = ""):
+def main(full: bool = False, packed: bool = False, only: str = "", bf16: bool = False):
     import jax
 
     from cinemri_tpu.utils.compile_cache import enable_compile_cache
@@ -82,10 +82,10 @@ def main(full: bool = False, packed: bool = False, only: str = ""):
         name = f"{family}-{dyn}"
         if wanted and name not in wanted:
             continue
-        if packed and family in ("varnet", "cinenet") and not (
-            family == "cinenet" and dyn == "CRNN"
-        ):
+        if packed and family in ("varnet", "cinenet"):
             kwargs = dict(kwargs, packed=True)
+        if bf16 and family in ("varnet", "cinenet"):
+            kwargs = dict(kwargs, bf16=True)
         try:
             model = build_model(family, dyn, **kwargs)
             args = (km, mask, sens) if family == "cinenet" else (km, mask)
@@ -103,7 +103,8 @@ def main(full: bool = False, packed: bool = False, only: str = ""):
             float(vals[-1])  # sync on the final scalar
             best = (time.perf_counter() - t0) / n
             print(json.dumps({
-                "model": name + ("-packed" if kwargs.get("packed") else ""),
+                "model": name + ("-packed" if kwargs.get("packed") else "")
+                + ("-bf16" if kwargs.get("bf16") else ""),
                 "volume_ms": round(best * 1000, 2),
                 "frames_per_sec": round(T / best, 1),
                 "compile_s": round(compile_s, 1),
@@ -118,6 +119,8 @@ if __name__ == "__main__":
     ap.add_argument("--full", action="store_true")
     ap.add_argument("--packed", action="store_true",
                     help="space-to-depth denoisers for varnet/cinenet")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 activations for varnet/cinenet")
     ap.add_argument("--only", default="", help="comma-separated model-dyn list")
     a = ap.parse_args()
-    main(a.full, a.packed, a.only)
+    main(a.full, a.packed, a.only, a.bf16)

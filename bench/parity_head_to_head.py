@@ -248,7 +248,8 @@ def run_reference(family, train, test, train_masks, test_mask, epochs):
     return init_params, out[0], target[0], losses
 
 
-def run_framework(family, params, train, test, train_masks, test_mask, epochs):
+def run_framework(family, params, train, test, train_masks, test_mask, epochs,
+                  bf16=False, packed=False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -258,10 +259,13 @@ def run_framework(family, params, train, test, train_masks, test_mask, epochs):
     from cinemri_tpu.ops.ssim import ssim_loss
     from cinemri_tpu.train import make_optimizer
 
+    extra = {}
+    if family != "xpdnet":
+        extra = {"bf16": bf16, "packed": packed}
     if family == "varnet_crnn":
-        model = build_model("varnet", "CRNN", **MODEL_KW[family])
+        model = build_model("varnet", "CRNN", **MODEL_KW[family], **extra)
     else:
-        model = build_model(family, "XF", **MODEL_KW[family])
+        model = build_model(family, "XF", **MODEL_KW[family], **extra)
     tx = make_optimizer(lr=1e-4, lr_step_size=10**6, steps_per_epoch=1)
     opt_state = tx.init(params)
 
@@ -297,7 +301,8 @@ def run_framework(family, params, train, test, train_masks, test_mask, epochs):
     return out[0], target[0], losses
 
 
-def main(epochs: int = 30, family: str = "varnet"):
+def main(epochs: int = 30, family: str = "varnet", bf16: bool = False,
+         packed: bool = False):
     from cinemri_tpu.ops import metrics as M
 
     train, test = make_volumes()
@@ -311,7 +316,8 @@ def main(epochs: int = 30, family: str = "varnet"):
 
     t0 = time.perf_counter()
     out_jax, _, jax_losses = run_framework(
-        family, init_params, train, test, train_masks, test_mask, epochs
+        family, init_params, train, test, train_masks, test_mask, epochs,
+        bf16=bf16, packed=packed,
     )
     jax_s = time.perf_counter() - t0
 
@@ -323,7 +329,7 @@ def main(epochs: int = 30, family: str = "varnet"):
     print(
         json.dumps(
             {
-                "family": family,
+                "family": family + ("-packed" if packed else "") + ("-bf16" if bf16 else ""),
                 "epochs": epochs,
                 "ssim_reference": round(float(ssim_ref), 5),
                 "ssim_framework": round(float(ssim_jax), 5),
@@ -345,5 +351,9 @@ if __name__ == "__main__":
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--family", default="varnet",
                     choices=("varnet", "varnet_crnn", "cinenet", "xpdnet"))
+    ap.add_argument("--bf16", action="store_true",
+                    help="framework side trains with bf16 activations")
+    ap.add_argument("--packed", action="store_true",
+                    help="framework side runs space-to-depth packed denoisers")
     a = ap.parse_args()
-    main(a.epochs, a.family)
+    main(a.epochs, a.family, a.bf16, a.packed)

@@ -6,7 +6,7 @@ the training-side counterpart of bench/all_models.py. The reference's only
 training-time measurement is `perf_counter` hours around `trainer.fit`
 (train_test_varnet.py:101-105).
 
-Usage: python bench/train_step.py [--full]
+Usage: python bench/train_step.py [--full] [--packed] [--bf16] [--only a,b]
 """
 
 import argparse
@@ -20,7 +20,7 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def main(full: bool = False):
+def main(full: bool = False, packed: bool = False, bf16: bool = False, only: str = ""):
     import jax
 
     from cinemri_tpu.utils.compile_cache import enable_compile_cache
@@ -62,10 +62,22 @@ def main(full: bool = False):
         configs += [
             ("varnet", "CRNN", dict(num_cascades=10, sens_chans=8, sens_pools=3, chans=16)),
             ("cinenet", "CRNN", dict(num_cascades=10, cg_iters=6, chans=16)),
+            ("varnet", "3D", dict(num_cascades=10, sens_chans=8, sens_pools=3, chans=16, pools=3)),
+            ("cinenet", "3D", dict(num_cascades=10, cg_iters=6, chans=16, pools=3)),
         ]
 
+    wanted = {x.strip() for x in only.split(",") if x.strip()}
     tx = make_optimizer(lr=1e-4, lr_step_size=10**6, steps_per_epoch=1)
     for family, dyn, kwargs in configs:
+        name = f"{family}-{dyn}"
+        if wanted and name not in wanted:
+            continue
+        if family in ("varnet", "cinenet"):
+            if packed:
+                kwargs = dict(kwargs, packed=True)
+            if bf16:
+                kwargs = dict(kwargs, bf16=True)
+        suffix = ("-packed" if kwargs.get("packed") else "") + ("-bf16" if kwargs.get("bf16") else "")
         try:
             model = build_model(family, dyn, **kwargs)
             args = (km, mask, sens) if family == "cinenet" else (km, mask)
@@ -94,16 +106,20 @@ def main(full: bool = False):
             float(loss)  # sync: loss depends on the final step's params
             per_step = (time.perf_counter() - t0) / n
             print(json.dumps({
-                "model": f"{family}-{dyn}",
+                "model": name + suffix,
                 "step_ms": round(per_step * 1000, 1),
                 "steps_per_sec": round(1 / per_step, 2),
                 "compile_s": round(compile_s, 1),
             }), flush=True)
         except Exception as e:
-            print(json.dumps({"model": f"{family}-{dyn}", "error": str(e)[:200]}), flush=True)
+            print(json.dumps({"model": name, "error": str(e)[:200]}), flush=True)
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true")
-    main(ap.parse_args().full)
+    ap.add_argument("--packed", action="store_true")
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--only", default="")
+    a = ap.parse_args()
+    main(a.full, a.packed, a.bf16, a.only)

@@ -81,11 +81,12 @@ def build_parser(family: str) -> argparse.ArgumentParser:
                    help="precomputed-kernel data consistency (zero per-cascade "
                         "DFTs, physics.soft_dc_image_kernel); 0 = the "
                         "reference's direct k-space formulation")
-    p.add_argument("--packed", default=1, choices=(0, 1), type=int,
-                   help="space-to-depth lane packing of the U-Net conv "
-                        "stacks (denoisers/packed_unet.py) — numerically "
-                        "identical, same checkpoints, removes the TPU "
-                        "lane-padding HBM tax at 16-channel widths "
+    p.add_argument("--packed", default=None, choices=(0, 1), type=int,
+                   help="space-to-depth lane packing of the conv stacks "
+                        "(denoisers/packed_unet.py) — numerically identical, "
+                        "same checkpoints. Default: on for 2D/3D/CRNN "
+                        "(measured 1.5-3.1x), off for XF/XT whose plane "
+                        "batches are already near their op-mix ceiling "
                         "(varnet/cinenet families)")
     p.add_argument("--bf16", default=0, choices=(0, 1), type=int,
                    help="bfloat16 denoiser activations (params/optimizer/"
@@ -234,10 +235,12 @@ def _build_model_from_args(family: str, args) -> object:
         )
     kwargs["kernel_dc"] = bool(args.kernel_dc)
     if family in ("varnet", "cinenet"):
-        if not (family == "cinenet" and args.dynamic_type == "CRNN"):
-            # XPDNet (MWCNN denoiser) and CineNetRNN (no U-Net at all) have
-            # no packed path; VarNet/CineNet unrolled + VarNetRNN's sens do
-            kwargs["packed"] = bool(args.packed)
+        # XPDNet (MWCNN denoiser) has no packed/bf16 path yet; the U-Net
+        # stacks and CRNN trunks of varnet/cinenet all do
+        packed = args.packed
+        if packed is None:  # auto: where the A/B wins (BASELINE.md)
+            packed = args.dynamic_type in ("2D", "3D", "CRNN")
+        kwargs["packed"] = bool(packed)
         kwargs["bf16"] = bool(args.bf16)
     return build_model(family, args.dynamic_type, **kwargs)
 

@@ -24,7 +24,61 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-__all__ = ["CRNNCell", "BCRNN", "fused_sum_conv", "fused_slice_sizes"]
+__all__ = [
+    "CRNNCell",
+    "BCRNN",
+    "fused_sum_conv",
+    "fused_slice_sizes",
+    "pack2",
+    "unpack2",
+]
+
+
+def pack2(x: jnp.ndarray, block) -> jnp.ndarray:
+    """Space-to-depth over the trailing (h, w) spatial dims of a
+    (..., h, w, c) tensor (denoisers.packed_unet.pack with free leading
+    batch dims)."""
+    from cinemri_tpu.models.denoisers.packed_unet import pack
+
+    lead = x.shape[:-3]
+    h, w, c = x.shape[-3:]
+    y = pack(x.reshape((-1, h, w, c)), block)
+    return y.reshape(lead + y.shape[1:])
+
+
+def unpack2(x: jnp.ndarray, block) -> jnp.ndarray:
+    from cinemri_tpu.models.denoisers.packed_unet import unpack
+
+    lead = x.shape[:-3]
+    hq, wq, cp = x.shape[-3:]
+    y = unpack(x.reshape((-1, hq, wq, cp)), block)
+    return y.reshape(lead + y.shape[1:])
+
+
+class _PackedFusedConv(nn.Module):
+    """Packed-space execution of a fused sum-of-convs; the param tree
+    ('kernel'/'bias', LOGICAL shapes, per-slice init) matches the plain
+    nn.Conv that fused_sum_conv declares, so the packed and plain CRNN
+    trunks are checkpoint-interchangeable."""
+
+    features: int
+    kernel_size: int
+    sizes: tuple
+    block: tuple
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, cat_packed: jnp.ndarray) -> jnp.ndarray:
+        from cinemri_tpu.models.denoisers.packed_unet import packed_conv
+
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            _sliced_lecun_normal(self.sizes),
+            (k, k, sum(self.sizes), self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return packed_conv(cat_packed, kernel, bias, self.block, dtype=self.dtype)
 
 
 def fused_slice_sizes(name: str):
@@ -61,7 +115,9 @@ def _sliced_lecun_normal(sizes):
     return init
 
 
-def fused_sum_conv(chans: int, kernel_size: int, name: str, *inputs, dtype=None):
+def fused_sum_conv(
+    chans: int, kernel_size: int, name: str, *inputs, dtype=None, block=None
+):
     """``sum_i conv_i(inputs[i])`` as ONE conv over concatenated channels.
 
     Exact up to f32 summation order; one MXU pass instead of len(inputs)
@@ -74,14 +130,30 @@ def fused_sum_conv(chans: int, kernel_size: int, name: str, *inputs, dtype=None)
     name suffix), and the bias — the sum of the separate convs' biases —
     starts at zero either way (flax default; torch_style_init re-draws it
     as a sum of per-conv uniforms).
+
+    With ``block`` set, the inputs are already in (h, w)-space-to-depth
+    packed form (c-major, same block) and the conv executes packed — exact,
+    same parameters; the packed concat of c-major inputs IS the c-major
+    packing of the logical concat.
     """
     k = (kernel_size, kernel_size)
     dt = dtype or jnp.float32
+    B = 1
+    if block is not None:
+        for b in block:
+            B *= b
+    sizes = tuple(int(x.shape[-1]) // B for x in inputs)
+    cat = inputs[0] if len(inputs) == 1 else jnp.concatenate(inputs, axis=-1)
+    full_name = (
+        name if len(inputs) == 1
+        else f"{name}__f{'_'.join(str(s) for s in sizes)}"
+    )
+    if block is not None and B > 1:
+        return _PackedFusedConv(
+            chans, kernel_size, sizes, tuple(block), dt, name=full_name
+        )(cat)
     if len(inputs) == 1:
-        return nn.Conv(chans, k, padding="SAME", dtype=dt, name=name)(inputs[0])
-    sizes = tuple(int(x.shape[-1]) for x in inputs)
-    cat = jnp.concatenate(inputs, axis=-1)
-    full_name = f"{name}__f{'_'.join(str(s) for s in sizes)}"
+        return nn.Conv(chans, k, padding="SAME", dtype=dt, name=full_name)(cat)
     return nn.Conv(
         chans,
         k,
@@ -100,6 +172,7 @@ class CRNNCell(nn.Module):
     hidden_size: int
     kernel_size: int = 3
     dtype: jnp.dtype = jnp.float32
+    block: tuple = ()  # packed (h, w) space-to-depth block, () = dense
 
     @nn.compact
     def __call__(self, hidden, inputs):
@@ -108,6 +181,7 @@ class CRNNCell(nn.Module):
             fused_sum_conv(
                 self.hidden_size, self.kernel_size, "i2h_h2h_ih2ih",
                 x, hidden, hidden_iteration, dtype=self.dtype,
+                block=self.block or None,
             )
         )
         return new_hidden, new_hidden
@@ -127,11 +201,15 @@ class BCRNN(nn.Module):
     hidden_size: int
     kernel_size: int = 3
     dtype: jnp.dtype = jnp.float32
+    block: tuple = ()  # packed (h, w) block; x/hidden_iteration arrive packed
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, hidden_iteration: jnp.ndarray) -> jnp.ndarray:
-        t, b, h, w, _ = x.shape
-        h0 = jnp.zeros((b, h, w, self.hidden_size), self.dtype)
+        t, b, hq, wq, _ = x.shape
+        B = 1
+        for bb in self.block:
+            B *= bb
+        h0 = jnp.zeros((b, hq, wq, self.hidden_size * B), self.dtype)
         x = x.astype(self.dtype)
         hidden_iteration = hidden_iteration.astype(self.dtype)
         cell = nn.scan(
@@ -141,7 +219,7 @@ class BCRNN(nn.Module):
             in_axes=0,
             out_axes=0,
         )(hidden_size=self.hidden_size, kernel_size=self.kernel_size,
-          dtype=self.dtype, name="cell")
+          dtype=self.dtype, block=self.block, name="cell")
         _, out_f = cell(h0, (x, hidden_iteration))
         _, out_b = cell(h0, (x[::-1], hidden_iteration[::-1]))
         return out_f + out_b[::-1]

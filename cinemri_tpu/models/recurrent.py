@@ -27,7 +27,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from cinemri_tpu.models.denoisers.crnn import BCRNN, fused_sum_conv
+from cinemri_tpu.models.denoisers.crnn import BCRNN, fused_sum_conv, pack2, unpack2
 from cinemri_tpu.models.denoisers.kspace_cnn import KSpaceCNN
 from cinemri_tpu.models.varnet import SensitivityModel, lambda_init
 from cinemri_tpu.models.xpdnet import XPDNetSensitivityModel, _merge_ri, _split_ri
@@ -62,33 +62,56 @@ class CRNNTrunk(nn.Module):
     in_ch: int = 2
     out_ch: int = 2
     dtype: jnp.dtype = jnp.float32
+    # (h, w) space-to-depth block — inputs/hiddens/outputs are all packed
+    # when set; exact, same params (denoisers.crnn.fused_sum_conv)
+    block: tuple = ()
 
     @nn.compact
     def __call__(self, x_in, hiddens):
         h0, h1, h2, h3 = hiddens
-        t, b, h, w, _ = x_in.shape
+        t, b, hq, wq, _ = x_in.shape
         dt = self.dtype
+        blk = self.block or None
+        B = 1
+        for bb in self.block:
+            B *= bb
 
-        x0 = BCRNN(self.chans, dtype=dt, name="bcrnn")(x_in, h0)
-        x0f = x0.reshape(t * b, h, w, self.chans)
+        x0 = BCRNN(self.chans, dtype=dt, block=self.block, name="bcrnn")(x_in, h0)
+        x0f = x0.reshape(t * b, hq, wq, self.chans * B)
 
         # each conv(x) + conv(h) pair (recurrent_varnet.py:126-141) is one
         # fused conv over concatenated channels — exact math, half the
         # padded MXU passes at chans~16 (see denoisers.crnn.fused_sum_conv)
-        x1 = nn.relu(fused_sum_conv(self.chans, 3, "conv1_xh", x0f, h1, dtype=dt))
-        x2 = nn.relu(fused_sum_conv(self.chans, 3, "conv2_xh", x1, h2, dtype=dt))
-        x3 = nn.relu(fused_sum_conv(self.chans, 3, "conv3_xh", x2, h3, dtype=dt))
-        x4 = nn.Conv(self.out_ch, (3, 3), padding="SAME", dtype=dt, name="conv4_x")(x3)
+        x1 = nn.relu(fused_sum_conv(self.chans, 3, "conv1_xh", x0f, h1,
+                                    dtype=dt, block=blk))
+        x2 = nn.relu(fused_sum_conv(self.chans, 3, "conv2_xh", x1, h2,
+                                    dtype=dt, block=blk))
+        x3 = nn.relu(fused_sum_conv(self.chans, 3, "conv3_xh", x2, h3,
+                                    dtype=dt, block=blk))
+        x4 = fused_sum_conv(self.out_ch, 3, "conv4_x", x3, dtype=dt, block=blk)
         return x4.astype(jnp.float32), (x0, x1, x2, x3)
 
 
-def _zero_hiddens(t: int, b: int, h: int, w: int, chans: int, dtype=jnp.float32):
+def _zero_hiddens(
+    t: int, b: int, h: int, w: int, chans: int, dtype=jnp.float32, block=()
+):
+    B = 1
+    for bb in block:
+        B *= bb
+    hq, wq = (h // block[0], w // block[1]) if block else (h, w)
     return (
-        jnp.zeros((t, b, h, w, chans), dtype),
-        jnp.zeros((t * b, h, w, chans), dtype),
-        jnp.zeros((t * b, h, w, chans), dtype),
-        jnp.zeros((t * b, h, w, chans), dtype),
+        jnp.zeros((t, b, hq, wq, chans * B), dtype),
+        jnp.zeros((t * b, hq, wq, chans * B), dtype),
+        jnp.zeros((t * b, hq, wq, chans * B), dtype),
+        jnp.zeros((t * b, hq, wq, chans * B), dtype),
     )
+
+
+def _trunk_block(h: int, w: int, packed: bool) -> tuple:
+    """(2, 2) when the trunk can run space-to-depth packed (raises the conv
+    lane width from chans~18 to ~72 of the 128 lanes, cutting the padded
+    HBM traffic ~4x); () when dims are odd or packing is off."""
+    return (2, 2) if (packed and h % 2 == 0 and w % 2 == 0) else ()
 
 
 def _image_to_tb(x) -> jnp.ndarray:
@@ -104,16 +127,21 @@ def _tb_to_image(r: jnp.ndarray):
 class _VarNetRNNStep(nn.Module):
     chans: int
     dtype: jnp.dtype = jnp.float32
+    block: tuple = ()
 
     @nn.compact
     def __call__(self, carry, ref, mask, sens_maps, dc_kernel, rss0=None):
         x, hiddens = carry
         b, t, h, w = x.shape
         x_in = _image_to_tb(x)  # (t, b, h, w, 2)
-        x4, hiddens = CRNNTrunk(self.chans, dtype=self.dtype, name="trunk")(
-            x_in, hiddens
-        )
-        out = x_in.reshape(t * b, h, w, 2) + x4.reshape(t * b, h, w, 2)
+        if self.block:
+            x_in = pack2(x_in, self.block)
+        x4, hiddens = CRNNTrunk(
+            self.chans, dtype=self.dtype, block=self.block, name="trunk"
+        )(x_in, hiddens)
+        out = x_in.reshape((t * b,) + x_in.shape[2:]) + x4
+        if self.block:
+            out = unpack2(out, self.block)
         out_img = _tb_to_image(out.reshape(t, b, h, w, 2))
 
         lam = self.param("lambda_reg", lambda_init, ())
@@ -151,7 +179,8 @@ class VarNetRNN(nn.Module):
         x_ref = sens_reduce(ref_kspace, sens_maps)  # (b, t, 1, h, w)
         x = x_ref[:, :, 0]
         b, t, h, w = x.shape
-        hiddens = _zero_hiddens(t, b, h, w, self.chans, dtype)
+        block = _trunk_block(h, w, self.packed)
+        hiddens = _zero_hiddens(t, b, h, w, self.chans, dtype, block)
 
         use_kernel = self.kernel_dc and is_line_mask(mask)
         dc_kernel = masked_normal_kernel(mask) if use_kernel else None
@@ -166,9 +195,9 @@ class VarNetRNN(nn.Module):
             in_axes=(nn.broadcast,) * 5,
             length=self.num_cascades,
         )
-        (x, _), _ = scan(chans=self.chans, dtype=dtype, name="iterations")(
-            (x, hiddens), ref, mask, sens_maps, dc_kernel, rss0
-        )
+        (x, _), _ = scan(
+            chans=self.chans, dtype=dtype, block=block, name="iterations"
+        )((x, hiddens), ref, mask, sens_maps, dc_kernel, rss0)
         return x.abs()
 
 
@@ -176,16 +205,21 @@ class _CineNetRNNStep(nn.Module):
     chans: int
     cg_iters: int
     dtype: jnp.dtype = jnp.float32
+    block: tuple = ()
 
     @nn.compact
     def __call__(self, carry, x_ref, mask, sens_maps, dc_kernel):
         x, hiddens = carry
         b, t, h, w = x.shape
         x_in = _image_to_tb(x)
-        x4, hiddens = CRNNTrunk(self.chans, dtype=self.dtype, name="trunk")(
-            x_in, hiddens
-        )
-        out = x_in.reshape(t * b, h, w, 2) + x4.reshape(t * b, h, w, 2)
+        if self.block:
+            x_in = pack2(x_in, self.block)
+        x4, hiddens = CRNNTrunk(
+            self.chans, dtype=self.dtype, block=self.block, name="trunk"
+        )(x_in, hiddens)
+        out = x_in.reshape((t * b,) + x_in.shape[2:]) + x4
+        if self.block:
+            out = unpack2(out, self.block)
         out_img = _tb_to_image(out.reshape(t, b, h, w, 2))[:, :, None]  # (b,t,1,h,w)
 
         lam = self.param("lambda_reg", lambda_init, ())
@@ -208,6 +242,7 @@ class CineNetRNN(nn.Module):
     chans: int = 64
     remat: bool = True
     kernel_dc: bool = True  # see CineNet.kernel_dc
+    packed: bool = False  # space-to-depth packed CRNN trunk
     bf16: bool = False  # bfloat16 trunk activations (see VarNet.bf16)
 
     @nn.compact
@@ -218,7 +253,8 @@ class CineNetRNN(nn.Module):
         x_ref = sens_reduce(ref_kspace, sens_maps)  # (b, t, 1, h, w)
         x = x_ref[:, :, 0]
         b, t, h, w = x.shape
-        hiddens = _zero_hiddens(t, b, h, w, self.chans, dtype)
+        block = _trunk_block(h, w, self.packed)
+        hiddens = _zero_hiddens(t, b, h, w, self.chans, dtype, block)
         dc_kernel = (
             masked_normal_kernel(mask)
             if self.kernel_dc and is_line_mask(mask)
@@ -234,7 +270,7 @@ class CineNetRNN(nn.Module):
             length=self.num_cascades,
         )
         (x, _), _ = scan(
-            chans=self.chans, cg_iters=self.cg_iters, dtype=dtype,
+            chans=self.chans, cg_iters=self.cg_iters, dtype=dtype, block=block,
             name="iterations",
         )((x, hiddens), x_ref, mask, sens_maps, dc_kernel)
         return x.abs()

@@ -445,9 +445,10 @@ class TestPackedModels:
     @pytest.mark.parametrize("family,dyn", [
         ("varnet", "3D"), ("varnet", "XF"), ("varnet", "2D"),
         ("cinenet", "3D"), ("cinenet", "XT"),
+        ("varnet", "CRNN"), ("cinenet", "CRNN"),
     ])
     def test_packed_matches_plain(self, family, dyn, batch):
-        kwargs = dict(SMALL[family])
+        kwargs = dict(CRNN_SMALL[family] if dyn == "CRNN" else SMALL[family])
         plain = build_model(family, dyn, **kwargs)
         packed = build_model(family, dyn, packed=True, **kwargs)
         params, out_plain = _apply(plain, family, batch)
