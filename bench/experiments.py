@@ -38,7 +38,7 @@ CRNN_TINY = dict(
 )
 
 
-def run_config(root, family, dynamic_type, acceleration, epochs):
+def run_config(root, family, dynamic_type, acceleration, epochs, bf16=False):
     from cinemri_tpu.data import (
         CineNetDataTransform,
         RandomMask,
@@ -65,7 +65,9 @@ def run_config(root, family, dynamic_type, acceleration, epochs):
         )
         return Loader(ds, batch_size=1, shuffle=shuffle)
 
-    kwargs = (CRNN_TINY if dynamic_type == "CRNN" else TINY)[family]
+    kwargs = dict((CRNN_TINY if dynamic_type == "CRNN" else TINY)[family])
+    if bf16 and family in ("varnet", "cinenet"):
+        kwargs["bf16"] = True
     model = build_model(family, dynamic_type, **kwargs)
     trainer = Trainer(
         model,
@@ -87,7 +89,7 @@ def run_config(root, family, dynamic_type, acceleration, epochs):
             zf_ssim.append(M.ssim(tgt[i], zf[i], maxval=float(batch["max_value"][i])))
 
     print(json.dumps({
-        "config": f"{family}-{dynamic_type}@{acceleration}x",
+        "config": f"{family}-{dynamic_type}@{acceleration}x" + ("-bf16" if bf16 else ""),
         "epochs": epochs,
         "train_min": round(train_min, 1),
         "final_loss": round(history[-1]["train_loss"], 4),
@@ -101,6 +103,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=25)
     ap.add_argument("--set", default="families", choices=("families", "dynamics"))
+    ap.add_argument("--bf16", action="store_true",
+                    help="train varnet/cinenet configs with bf16 activations")
     args = ap.parse_args()
 
     from cinemri_tpu.data.synthetic import make_synthetic_dataset
@@ -118,7 +122,7 @@ def main():
 
     for family, dyn, acc in configs:
         try:
-            run_config(root, family, dyn, acc, args.epochs)
+            run_config(root, family, dyn, acc, args.epochs, bf16=args.bf16)
         except Exception as e:
             print(json.dumps({"config": f"{family}-{dyn}@{acc}x",
                               "error": str(e)[:200]}), flush=True)

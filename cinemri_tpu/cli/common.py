@@ -234,14 +234,12 @@ def _build_model_from_args(family: str, args) -> object:
                       n_dual=args.n_dual, weight_sharing=args.weight_sharing)
         )
     kwargs["kernel_dc"] = bool(args.kernel_dc)
-    if family in ("varnet", "cinenet"):
-        # XPDNet (MWCNN denoiser) has no packed/bf16 path yet; the U-Net
-        # stacks and CRNN trunks of varnet/cinenet all do
-        packed = args.packed
-        if packed is None:  # auto: where the A/B wins (BASELINE.md)
-            packed = args.dynamic_type in ("2D", "3D", "CRNN")
-        kwargs["packed"] = bool(packed)
-        kwargs["bf16"] = bool(args.bf16)
+    # every denoiser stack (U-Net, MWCNN, CRNN trunk) supports packed/bf16
+    packed = args.packed
+    if packed is None:  # auto: where the A/B wins (BASELINE.md)
+        packed = args.dynamic_type in ("2D", "3D", "CRNN")
+    kwargs["packed"] = bool(packed)
+    kwargs["bf16"] = bool(args.bf16)
     return build_model(family, args.dynamic_type, **kwargs)
 
 

@@ -278,7 +278,7 @@ class CineNetRNN(nn.Module):
 
 def _xpdnet_rnn_body(
     carry, ref_kspace, mask, sens_maps, trunk, kspace_net, n_primal,
-    x_ref=None, dc_kernel=None,
+    x_ref=None, dc_kernel=None, block=(),
 ):
     """One K-correction + buffer update + CRNN image correction
     (recurrent_xpdnet.py:89-231). ``trunk`` is a bound CRNNTrunk; ``kspace_net``
@@ -301,9 +301,11 @@ def _xpdnet_rnn_body(
         )[:, :, 0]
         buf = cconcat([image_buffer, bwd[..., None]], axis=-1)
         x_in = _split_ri(buf).transpose(1, 0, 2, 3, 4)
-        x4, hiddens = trunk(x_in, hiddens)
+        x4, hiddens = trunk(pack2(x_in, block) if block else x_in, hiddens)
+        if block:
+            x4 = unpack2(x4, block)
         x_res = _split_ri(buf[..., :n]).transpose(1, 0, 2, 3, 4)
-        out = x_res.reshape(t * b, h, w, 2 * n) + x4
+        out = x_res.reshape(t * b, h, w, 2 * n) + x4.reshape(t * b, h, w, 2 * n)
         image_buffer = _merge_ri(out.reshape(t, b, h, w, 2 * n)).transpose(1, 0, 2, 3, 4)
         return image_buffer, kspace_buffer, hiddens
 
@@ -324,9 +326,11 @@ def _xpdnet_rnn_body(
     # CRNN correction over the buffer channels; residual adds the first
     # n_primal buffer channels back (recurrent_xpdnet.py:220-225)
     x_in = _split_ri(buf).transpose(1, 0, 2, 3, 4)  # (t, b, h, w, 2(n+1))
-    x4, hiddens = trunk(x_in, hiddens)
+    x4, hiddens = trunk(pack2(x_in, block) if block else x_in, hiddens)
+    if block:
+        x4 = unpack2(x4, block)
     x_res = _split_ri(buf[..., :n]).transpose(1, 0, 2, 3, 4)
-    out = x_res.reshape(t * b, h, w, 2 * n) + x4
+    out = x_res.reshape(t * b, h, w, 2 * n) + x4.reshape(t * b, h, w, 2 * n)
     image_buffer = _merge_ri(out.reshape(t, b, h, w, 2 * n)).transpose(1, 0, 2, 3, 4)
     return image_buffer, kspace_buffer, hiddens
 
@@ -336,6 +340,8 @@ class _XPDNetRNNStep(nn.Module):
 
     chans: int
     n_primal: int
+    dtype: jnp.dtype = jnp.float32
+    block: tuple = ()
 
     @nn.compact
     def __call__(self, carry, ref_kspace, mask, sens_maps, x_ref, dc_kernel):
@@ -343,11 +349,13 @@ class _XPDNetRNNStep(nn.Module):
             self.chans,
             in_ch=2 * (self.n_primal + 1),
             out_ch=2 * self.n_primal,
+            dtype=self.dtype,
+            block=self.block,
             name="trunk",
         )
         carry = _xpdnet_rnn_body(
             carry, ref_kspace, mask, sens_maps, trunk, None, self.n_primal,
-            x_ref=x_ref, dc_kernel=dc_kernel,
+            x_ref=x_ref, dc_kernel=dc_kernel, block=self.block,
         )
         return carry, None
 
@@ -371,6 +379,8 @@ class XPDNetRNN(nn.Module):
     n_dual: int = 1
     remat: bool = True
     kernel_dc: bool = True  # see VarNet.kernel_dc (primal_only mode only)
+    packed: bool = False  # space-to-depth packed CRNN trunk
+    bf16: bool = False  # bfloat16 trunk activations (see VarNet.bf16)
 
     @nn.compact
     def __call__(self, ref_kspace: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -384,7 +394,9 @@ class XPDNetRNN(nn.Module):
         kspace_buffer = crepeat(ref_kspace[..., None], k_buf_size, axis=-1)
 
         b, t, h, w = image.shape
-        hiddens = _zero_hiddens(t, b, h, w, self.chans)
+        dtype = jnp.bfloat16 if self.bf16 else jnp.float32
+        block = _trunk_block(h, w, self.packed)
+        hiddens = _zero_hiddens(t, b, h, w, self.chans, dtype, block)
         carry = (image_buffer, kspace_buffer, hiddens)
 
         if self.primal_only:
@@ -400,7 +412,8 @@ class XPDNetRNN(nn.Module):
                 length=self.num_cascades,
             )
             carry, _ = scan(
-                chans=self.chans, n_primal=self.n_primal, name="iterations"
+                chans=self.chans, n_primal=self.n_primal, dtype=dtype,
+                block=block, name="iterations"
             )(carry, ref_kspace, mask, sens_maps, x_ref if use_kernel else None, dc_kernel)
         else:
             # shared trunk, per-iteration k-space nets (recurrent_xpdnet.py:66-73)
@@ -408,12 +421,15 @@ class XPDNetRNN(nn.Module):
                 self.chans,
                 in_ch=2 * (self.n_primal + 1),
                 out_ch=2 * self.n_primal,
+                dtype=dtype,
+                block=block,
                 name="trunk",
             )
             for i in range(self.num_cascades):
                 knet = KSpaceCNN(out_chans=2 * self.n_dual, name=f"kspace_net_{i}")
                 carry = _xpdnet_rnn_body(
-                    carry, ref_kspace, mask, sens_maps, trunk, knet, self.n_primal
+                    carry, ref_kspace, mask, sens_maps, trunk, knet,
+                    self.n_primal, block=block,
                 )
 
         return carry[0][..., 0].abs()

@@ -112,6 +112,8 @@ class XPDNetBlock(nn.Module):
     dynamic_type: str = "XF"
     weight_sharing: bool = False
     plane_axis: str = ""  # sequence-parallel mesh axis (see VarNetCascade)
+    packed: bool = False  # space-to-depth MWCNN (mwcnn.MWCNN.packed)
+    dtype: jnp.dtype = jnp.float32  # denoiser activation dtype
 
     def _mwcnn(self, name: str) -> MWCNN:
         return MWCNN(
@@ -123,6 +125,8 @@ class XPDNetBlock(nn.Module):
             n_first_convs=self.n_first_convs,
             first_conv_n_filters=self.first_conv_n_filters,
             res=self.res,
+            packed=self.packed,
+            dtype=self.dtype,
             name=name,
         )
 
@@ -244,6 +248,8 @@ class XPDNet(nn.Module):
     remat: bool = True
     plane_axis: str = ""  # sequence-parallel mesh axis for XT/XF planes
     kernel_dc: bool = True  # see VarNet.kernel_dc (primal_only mode only)
+    packed: bool = False  # space-to-depth MWCNN conv stacks (exact)
+    bf16: bool = False  # bfloat16 denoiser activations (see VarNet.bf16)
 
     @nn.compact
     def __call__(self, masked_kspace: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -286,6 +292,8 @@ class XPDNet(nn.Module):
             dynamic_type=self.dynamic_type,
             weight_sharing=self.weight_sharing,
             plane_axis=self.plane_axis,
+            packed=self.packed,
+            dtype=jnp.bfloat16 if self.bf16 else jnp.float32,
             name="cascades",
         )(
             (image_buffer, kspace_buffer),
