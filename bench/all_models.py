@@ -82,9 +82,9 @@ def main(full: bool = False, packed: bool = False, only: str = "", bf16: bool = 
         name = f"{family}-{dyn}"
         if wanted and name not in wanted:
             continue
-        if packed and family in ("varnet", "cinenet"):
+        if packed:
             kwargs = dict(kwargs, packed=True)
-        if bf16 and family in ("varnet", "cinenet"):
+        if bf16:
             kwargs = dict(kwargs, bf16=True)
         try:
             model = build_model(family, dyn, **kwargs)

@@ -36,11 +36,19 @@ def main():
         num_frames=t, num_coils=c, h=h, w=w, noise=2e-3,
     )
 
+    datasets = {}
+
     def run_epoch(epoch, transform, num_workers=1):
-        ds = SliceDataset(
-            root / "train", transform=transform, maps_cache_dir=root / "maps",
+        # one dataset per transform, reused across epochs — exactly what
+        # the Trainer does, so the in-process RAM volume cache counts
+        key = id(transform)
+        if key not in datasets:
+            datasets[key] = SliceDataset(
+                root / "train", transform=transform, maps_cache_dir=root / "maps",
+            )
+        loader = Loader(
+            datasets[key], batch_size=1, shuffle=False, num_workers=num_workers
         )
-        loader = Loader(ds, batch_size=1, shuffle=False, num_workers=num_workers)
         t0 = time.perf_counter()
         n = 0
         for batch in loader.epoch(epoch):

@@ -72,11 +72,10 @@ def main(full: bool = False, packed: bool = False, bf16: bool = False, only: str
         name = f"{family}-{dyn}"
         if wanted and name not in wanted:
             continue
-        if family in ("varnet", "cinenet"):
-            if packed:
-                kwargs = dict(kwargs, packed=True)
-            if bf16:
-                kwargs = dict(kwargs, bf16=True)
+        if packed:
+            kwargs = dict(kwargs, packed=True)
+        if bf16:
+            kwargs = dict(kwargs, bf16=True)
         suffix = ("-packed" if kwargs.get("packed") else "") + ("-bf16" if kwargs.get("bf16") else "")
         try:
             model = build_model(family, dyn, **kwargs)

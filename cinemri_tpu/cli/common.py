@@ -130,6 +130,10 @@ def build_parser(family: str) -> argparse.ArgumentParser:
     p.add_argument("--batch_size", default=1, type=int)
     p.add_argument("--maps_cache_dir", default=None, type=Path,
                    help="Cache dir for preprocessed volumes + ESPIRiT maps")
+    p.add_argument("--ram_cache_volumes", default=8, type=int,
+                   help="In-process LRU of decoded volumes (~100 MB each at "
+                        "protocol size); warm epochs then read no disk. "
+                        "0 disables")
     p.add_argument(
         "--cache_sens_maps", default=0, choices=(0, 1), type=int,
         help="CineNet only: compute per-sample ESPIRiT maps once per volume "
@@ -357,6 +361,7 @@ def train_test_main(family: str, argv=None) -> Dict:
                 ),
                 num_cols=args.num_cols,
                 maps_cache_dir=args.maps_cache_dir,
+                ram_cache_volumes=args.ram_cache_volumes,
             )
         else:
             root = (
@@ -373,6 +378,7 @@ def train_test_main(family: str, argv=None) -> Dict:
                 dataset_cache_file=log_root / "dataset_cache.pkl",
                 num_cols=args.num_cols,
                 maps_cache_dir=args.maps_cache_dir,
+                ram_cache_volumes=args.ram_cache_volumes,
             )
         return Loader(
             ds,

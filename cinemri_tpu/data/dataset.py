@@ -140,7 +140,12 @@ class SliceDataset:
         num_cols: Optional[Sequence[int]] = None,
         preprocess: Optional[PreprocessConfig] = None,
         maps_cache_dir: Optional[Union[str, Path]] = None,
+        ram_cache_volumes: int = 8,
     ):
+        """``ram_cache_volumes``: LRU size (in volumes) of an in-process
+        decoded-volume cache on top of the on-disk ``.npz`` cache — a warm
+        epoch then reads no disk at all (one OCMR-protocol volume is
+        ~100 MB decoded; 8 by default, 0 disables)."""
         if sample_rate is not None and volume_sample_rate is not None:
             raise ValueError(
                 "either set sample_rate (sample by slices) or volume_sample_rate"
@@ -151,6 +156,12 @@ class SliceDataset:
         self.preprocess = preprocess or PreprocessConfig()
         self.maps_cache_dir = Path(maps_cache_dir) if maps_cache_dir else None
         self.dataset_cache_file = Path(dataset_cache_file)
+        import threading
+        from collections import OrderedDict
+
+        self._ram_cache: "OrderedDict[Path, Dict]" = OrderedDict()
+        self._ram_cache_volumes = int(ram_cache_volumes)
+        self._ram_lock = threading.Lock()  # parallel-decode safety
 
         sample_rate = 1.0 if sample_rate is None else sample_rate
         volume_sample_rate = 1.0 if volume_sample_rate is None else volume_sample_rate
@@ -216,10 +227,15 @@ class SliceDataset:
     def _load_decoded(self, fname: Path) -> Dict[str, np.ndarray]:
         import h5py
 
+        with self._ram_lock:
+            if fname in self._ram_cache:
+                self._ram_cache.move_to_end(fname)
+                return self._ram_cache[fname]
         cpath = self._cache_path(fname)
         if cpath is not None and cpath.exists():
             with np.load(cpath) as z:
-                return {k: z[k] for k in ("kspace", "sens", "target")}
+                decoded = {k: z[k] for k in ("kspace", "sens", "target")}
+            return self._ram_put(fname, decoded)
         with h5py.File(fname, "r") as hf:
             raw = np.asarray(hf["y"], dtype=np.complex64)
         t, h, w, _ = raw.shape
@@ -228,6 +244,14 @@ class SliceDataset:
         if cpath is not None:
             cpath.parent.mkdir(parents=True, exist_ok=True)
             np.savez(cpath, **decoded)
+        return self._ram_put(fname, decoded)
+
+    def _ram_put(self, fname: Path, decoded: Dict) -> Dict:
+        if self._ram_cache_volumes > 0:
+            with self._ram_lock:
+                self._ram_cache[fname] = decoded
+                while len(self._ram_cache) > self._ram_cache_volumes:
+                    self._ram_cache.popitem(last=False)
         return decoded
 
     def __getitem__(self, i: int):
