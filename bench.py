@@ -98,6 +98,25 @@ def main():
     except Exception:
         pass  # cost model unavailable on this backend; keep fps-only output
 
+    # secondary row: the bf16 activation mode — certified within the
+    # ΔSSIM<0.001 budget at the full 150-epoch reference schedule
+    # (BASELINE.md "bf16 activation mode"), but not the default dtype,
+    # so it reports alongside the headline rather than replacing it
+    bf16_fps = None
+    try:
+        model16 = build_model(
+            "varnet", "XF", num_cascades=10, sens_chans=8, sens_pools=3,
+            chans=16, pools=3, bf16=True,
+        )
+        f16 = jax.jit(lambda p, kk, mm: jnp.sum(model16.apply(p, kk, mm)))
+        float(f16(params, masked_kspace, mask))
+        t0 = time.perf_counter()
+        vals = [f16(params, masked_kspace, mask) for _ in range(n)]
+        float(vals[-1])
+        bf16_fps = round(T / ((time.perf_counter() - t0) / n), 1)
+    except Exception:
+        pass
+
     print(
         json.dumps(
             {
@@ -106,6 +125,7 @@ def main():
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / REFERENCE_CPU_FRAMES_PER_SEC, 2),
                 "mfu": mfu,
+                "bf16_frames_per_sec": bf16_fps,
             }
         )
     )

@@ -10,14 +10,42 @@ parity item.
 
 from __future__ import annotations
 
+import hashlib
 import os
 from pathlib import Path
 
-__all__ = ["enable_compile_cache"]
+__all__ = ["enable_compile_cache", "host_fingerprint"]
 
 _DEFAULT_DIR = Path(
     os.environ.get("CINEMRI_COMPILE_CACHE", "~/.cache/cinemri_tpu/xla_cache")
 ).expanduser()
+
+
+def host_fingerprint() -> str:
+    """Short hash of the host CPU's ISA feature set.
+
+    XLA:CPU AOT executables embed the compile machine's features; loading
+    one on a host with a different set SIGILLs or segfaults (observed:
+    a cache written on an avx512/amx host crashed
+    ``compilation_cache.get_executable_and_time`` on a narrower host).
+    Scoping the cache directory by this fingerprint makes cross-machine
+    cache reuse impossible instead of fatal.
+    """
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        import platform
+
+        feats = platform.processor()
+    import jax
+
+    salt = f"{feats}|{jax.__version__}|{os.environ.get('XLA_FLAGS', '')}"
+    return hashlib.sha1(salt.encode()).hexdigest()[:10]
 
 
 def enable_compile_cache(cache_dir: Path | str | None = None) -> Path:
@@ -31,6 +59,7 @@ def enable_compile_cache(cache_dir: Path | str | None = None) -> Path:
     if os.environ.get("CINEMRI_COMPILE_CACHE") == "0":
         return _DEFAULT_DIR
     path = Path(cache_dir) if cache_dir is not None else _DEFAULT_DIR
+    path = path / host_fingerprint()
     path.mkdir(parents=True, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", str(path))
     # cache everything: tiny test programs recompile constantly too
