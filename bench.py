@@ -9,6 +9,11 @@ traintest_scripts/run_inference.py:53-61, at its default config):
     mask @4x with 10 center lines;
   * timed jitted forward, device-synchronized, best of several runs.
 
+Headline dtype is the bf16 activation mode (params/DC f32): certified
+within the north star's matched-SSIM budget at the reference's own full
+150-epoch schedule (dSSIM -0.00082; BASELINE.md "bf16 activation mode").
+The f32-exact path reports alongside as f32_frames_per_sec.
+
 Baseline: the reference PyTorch VarNet-XF forward on this machine's CPU
 (torch 2.13+cpu, 1 core): 32.3 s/volume = 0.464 frames/sec, measured with
 bench/measure_reference.py (recorded in BASELINE.md). The driver's north
@@ -98,10 +103,10 @@ def main():
     except Exception:
         pass  # cost model unavailable on this backend; keep fps-only output
 
-    # secondary row: the bf16 activation mode — certified within the
-    # ΔSSIM<0.001 budget at the full 150-epoch reference schedule
-    # (BASELINE.md "bf16 activation mode"), but not the default dtype,
-    # so it reports alongside the headline rather than replacing it
+    # headline: the bf16 activation mode — certified inside the north star's
+    # ΔSSIM<0.001 budget at the reference's own full 150-epoch schedule
+    # (BASELINE.md "bf16 activation mode"); f32-exact reports alongside.
+    # Falls back to the f32 number if the bf16 path ever fails to build.
     bf16_fps = None
     try:
         model16 = build_model(
@@ -109,23 +114,35 @@ def main():
             chans=16, pools=3, bf16=True,
         )
         f16 = jax.jit(lambda p, kk, mm: jnp.sum(model16.apply(p, kk, mm)))
-        float(f16(params, masked_kspace, mask))
+        out16 = float(f16(params, masked_kspace, mask))
+        assert np.isfinite(out16), "non-finite bf16 reconstruction"
         t0 = time.perf_counter()
         vals = [f16(params, masked_kspace, mask) for _ in range(n)]
         float(vals[-1])
-        bf16_fps = round(T / ((time.perf_counter() - t0) / n), 1)
+        per_volume16 = (time.perf_counter() - t0) / n
+        bf16_fps = T / per_volume16
+        try:
+            cost = f16.lower(params, masked_kspace, mask).compile().cost_analysis()
+            flops = float(cost.get("flops", 0.0))
+            peak = peak_flops_per_sec()
+            if flops > 0 and peak == peak:
+                mfu = round(flops / per_volume16 / peak, 4)
+        except Exception:
+            pass
     except Exception:
         pass
 
+    headline = bf16_fps if bf16_fps is not None else fps
     print(
         json.dumps(
             {
                 "metric": "varnet_xf_recon_frames_per_sec",
-                "value": round(fps, 3),
+                "value": round(headline, 3),
                 "unit": "frames/sec",
-                "vs_baseline": round(fps / REFERENCE_CPU_FRAMES_PER_SEC, 2),
+                "vs_baseline": round(headline / REFERENCE_CPU_FRAMES_PER_SEC, 2),
                 "mfu": mfu,
-                "bf16_frames_per_sec": bf16_fps,
+                "dtype": "bf16" if bf16_fps is not None else "f32",
+                "f32_frames_per_sec": round(fps, 1),
             }
         )
     )

@@ -70,6 +70,12 @@ def build_parser(family: str) -> argparse.ArgumentParser:
     # train_test_varnet.py:59-67) but 1 for export — exporting freshly
     # initialized weights is never what a user wants (ADVICE r2)
     p.add_argument("--load_model", default=None, choices=(0, 1), type=int)
+    # migration path for reference users: start from their trained torch
+    # Lightning checkpoint (interop.import_torch_checkpoint)
+    p.add_argument("--from_torch_ckpt", default=None, type=Path,
+                   help="initialize weights from a trained reference "
+                        "PyTorch/Lightning .ckpt; combine with --mode test "
+                        "for drop-in evaluation or --mode train to fine-tune")
     p.add_argument("--inference", default=1, choices=(0, 1), type=int)
     # --mode export: write a weight-baked StableHLO serving artifact
     # (serve.export_model) shaped like the first test batch
@@ -263,6 +269,36 @@ def config_fingerprint(family: str, args) -> str:
     return hashlib.sha1(repr(src).encode()).hexdigest()[:8]
 
 
+def _apply_torch_ckpt(trainer, family: str, args, first) -> None:
+    """--from_torch_ckpt: replace the initialized params with a trained
+    reference checkpoint's (interop.import_torch_checkpoint)."""
+    from cinemri_tpu.interop import check_tree_matches, import_torch_checkpoint
+
+    variables, kwargs, fam, dyn = import_torch_checkpoint(
+        args.from_torch_ckpt, family=family
+    )
+    if kwargs or dyn == "CRNN":
+        # the checkpoint knows its own architecture (hparams / CRNN trunk)
+        if dyn != args.dynamic_type:
+            raise ValueError(
+                f"checkpoint is a {fam}-{dyn} model but --dynamic_type is "
+                f"{args.dynamic_type}"
+            )
+    elif args.dynamic_type != "XF" or args.weight_sharing:
+        # bare state dict without hparams: trust the CLI's architecture flags
+        variables, *_ = import_torch_checkpoint(
+            args.from_torch_ckpt,
+            family=family,
+            dynamic_type=args.dynamic_type,
+            weight_sharing=bool(args.weight_sharing),
+        )
+    if trainer.state is None:
+        trainer.init_state(first)
+    check_tree_matches(variables, trainer.state.params)
+    trainer.state = trainer.state.replace(params=variables)
+    print(f"Initialized weights from reference checkpoint {args.from_torch_ckpt}")
+
+
 def train_test_main(family: str, argv=None) -> Dict:
     """The reference's train_test_main (train_test_varnet.py:22-136)."""
     from cinemri_tpu.utils.compile_cache import enable_compile_cache
@@ -422,6 +458,14 @@ def train_test_main(family: str, argv=None) -> Dict:
     )
 
     results: Dict = {"trainer": trainer}
+    if args.from_torch_ckpt and args.resume_training:
+        raise ValueError(
+            "--from_torch_ckpt and --resume_training are mutually exclusive"
+        )
+    if args.mode == "train" and args.from_torch_ckpt:
+        _apply_torch_ckpt(
+            trainer, family, args, trainer.train_loader.first_batch()
+        )
     if args.mode == "train":
         print(
             f"Training {family} {args.dynamic_type} with {args.num_cascades} "
@@ -437,7 +481,9 @@ def train_test_main(family: str, argv=None) -> Dict:
     elif args.mode == "test":
         first = trainer.test_loader.first_batch()
         trainer.init_state(first)
-        if args.load_model:
+        if args.from_torch_ckpt:
+            _apply_torch_ckpt(trainer, family, args, first)
+        elif args.load_model:
             trainer.restore_latest(first)
         results["test_metrics"] = trainer.test()
         print("test metrics:", results["test_metrics"])
@@ -465,7 +511,9 @@ def train_test_main(family: str, argv=None) -> Dict:
 
         first = trainer.test_loader.first_batch()
         trainer.init_state(first)
-        if args.load_model:
+        if args.from_torch_ckpt:
+            _apply_torch_ckpt(trainer, family, args, first)
+        elif args.load_model:
             trainer.restore_best(first)  # serve the best-val weights
         km = from_complex(first["masked_kspace"])
         mask = jnp.asarray(first["mask"])
