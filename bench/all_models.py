@@ -75,6 +75,9 @@ def main(full: bool = False, packed: bool = False, only: str = "", bf16: bool = 
             ("cinenet", "3D", dict(num_cascades=10, cg_iters=6, chans=16, pools=3)),
             ("xpdnet", "2D", dict(num_cascades=9, sens_chans=8, sens_pools=3, n_scales=3,
                                   n_filters_per_scale=(16, 32, 64), n_primal=5)),
+            ("cinenet", "XT", dict(num_cascades=10, cg_iters=6, chans=16, pools=3)),
+            ("xpdnet", "XT", dict(num_cascades=9, sens_chans=8, sens_pools=3, n_scales=3,
+                                  n_filters_per_scale=(16, 32, 64), n_primal=5)),
         ]
 
     wanted = {s.strip() for s in only.split(",") if s.strip()}

@@ -249,7 +249,7 @@ def run_reference(family, train, test, train_masks, test_mask, epochs):
 
 
 def run_framework(family, params, train, test, train_masks, test_mask, epochs,
-                  bf16=False, packed=False):
+                  bf16=False, packed=False, dft_precision=None):
     import jax
     import jax.numpy as jnp
     import optax
@@ -259,6 +259,10 @@ def run_framework(family, params, train, test, train_masks, test_mask, epochs,
     from cinemri_tpu.ops.ssim import ssim_loss
     from cinemri_tpu.train import make_optimizer
 
+    if dft_precision:
+        from cinemri_tpu.ops.fft import set_dft_precision
+
+        set_dft_precision(dft_precision)
     extra = {}
     if family != "xpdnet":
         extra = {"bf16": bf16, "packed": packed}
@@ -302,7 +306,7 @@ def run_framework(family, params, train, test, train_masks, test_mask, epochs,
 
 
 def main(epochs: int = 30, family: str = "varnet", bf16: bool = False,
-         packed: bool = False):
+         packed: bool = False, dft_precision: str | None = None):
     from cinemri_tpu.ops import metrics as M
 
     train, test = make_volumes()
@@ -317,7 +321,7 @@ def main(epochs: int = 30, family: str = "varnet", bf16: bool = False,
     t0 = time.perf_counter()
     out_jax, _, jax_losses = run_framework(
         family, init_params, train, test, train_masks, test_mask, epochs,
-        bf16=bf16, packed=packed,
+        bf16=bf16, packed=packed, dft_precision=dft_precision,
     )
     jax_s = time.perf_counter() - t0
 
@@ -329,7 +333,8 @@ def main(epochs: int = 30, family: str = "varnet", bf16: bool = False,
     print(
         json.dumps(
             {
-                "family": family + ("-packed" if packed else "") + ("-bf16" if bf16 else ""),
+                "family": family + ("-packed" if packed else "") + ("-bf16" if bf16 else "")
+                + (f"-dft_{dft_precision}" if dft_precision else ""),
                 "epochs": epochs,
                 "ssim_reference": round(float(ssim_ref), 5),
                 "ssim_framework": round(float(ssim_jax), 5),
@@ -353,7 +358,10 @@ if __name__ == "__main__":
                     choices=("varnet", "varnet_crnn", "cinenet", "xpdnet"))
     ap.add_argument("--bf16", action="store_true",
                     help="framework side trains with bf16 activations")
+    ap.add_argument("--dft_precision", default=None,
+                    help="framework-side DFT matmul precision "
+                         "(e.g. 'high' = bf16x6 passes; default f32-exact)")
     ap.add_argument("--packed", action="store_true",
                     help="framework side runs space-to-depth packed denoisers")
     a = ap.parse_args()
-    main(a.epochs, a.family, a.bf16, a.packed)
+    main(a.epochs, a.family, a.bf16, a.packed, a.dft_precision)

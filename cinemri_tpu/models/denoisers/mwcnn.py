@@ -14,7 +14,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from cinemri_tpu.ops.wavelet import dwt2, iwt2
+from cinemri_tpu.ops.wavelet import dwt2, dwt2_from_packed, iwt2, iwt2_to_packed
 
 __all__ = ["MWCNN", "MWConvBlock"]
 
@@ -108,11 +108,19 @@ class MWCNN(nn.Module):
         from cinemri_tpu.models.denoisers.packed_unet import pack, unpack
 
         def repack(v, b_from, b_to, fn):
-            """unpack -> dwt/iwt -> pack: a fused reshape/elementwise chain."""
+            """DWT/IWT between packed levels without materializing the dense
+            full-resolution tensor: with block (2, 2) the 2x2 Haar stencil
+            IS the phase block, so the butterfly runs in channel space
+            (ops.wavelet.dwt2_from_packed / iwt2_to_packed); any remaining
+            grid<->phase movement happens at the coarser resolution."""
+            if fn is dwt2:
+                v = dwt2_from_packed(v) if b_from else dwt2(v)
+                return pack(v, b_to) if b_to else v
+            # iwt: unpack (at subband resolution, wide channels) then
+            # assemble straight into the packed output representation
             if b_from:
                 v = unpack(v, b_from)
-            v = fn(v)
-            return pack(v, b_to) if b_to else v
+            return iwt2_to_packed(v) if b_to else iwt2(v)
 
         def mb(n_filters, g):
             return MWConvBlock(n_filters, dtype=self.dtype, block=lvl[g])

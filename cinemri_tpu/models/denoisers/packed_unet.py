@@ -373,25 +373,88 @@ def packed_group_norm(x: jnp.ndarray, logical_channels: int) -> jnp.ndarray:
 def packed_avg_pool_2x(
     x: jnp.ndarray, block_in: Block, block_out: Block
 ) -> jnp.ndarray:
-    """2x avg-pool (torch floor semantics) between packed representations.
+    """2x avg-pool (torch floor semantics) computed entirely in packed space.
 
-    unpack -> crop-to-even -> reshape-mean -> pack: a pure
-    reshape/transpose/reduce chain XLA fuses into one pass over the packed
-    input and output (no dense intermediate in HBM)."""
+    The round-2/3 profiling lesson: the previous unpack -> crop ->
+    reshape-mean -> pack chain materialized the DENSE tensor at full
+    resolution, whose 16-wide channel dim pays the ~8x lane-padding HBM tax
+    this module exists to avoid (cinenet-3D: the crop slice + layout copy
+    alone cost ~14 ms/volume). Instead use the phase structure directly:
+
+      * dims packed with block b >= 2: dense s = b*g + p, so the pooled
+        pair (2q, 2q+1) shares the grid cell g AND p//2 — the pool is a
+        mean over p%2, a pure channel-space reduction on the 128-lane
+        tensor (total extent b*G is even, so floor semantics are exact);
+      * dims with b == 1: crop the odd tail and mean adjacent grid cells
+        (the only dims where torch's floor drop can occur);
+      * re-raising a dim's block to ``block_out`` (choose_blocks gives
+        child in {parent/2, parent}) pulls the grid parity into the
+        slowest slot of that dim's phase: p' = mid*(g%2) + p_mid — one
+        transpose at the POOLED resolution, 4-8x smaller than the dense
+        full-resolution intermediate it replaces.
+    """
     d = len(block_in)
-    dense = unpack(x, block_in)
-    n = dense.shape[0]
-    c = dense.shape[-1]
-    spatial = dense.shape[1:-1]
-    crop = [slice(None)] + [slice(0, (s // 2) * 2) for s in spatial] + [slice(None)]
-    dense = dense[tuple(crop)]
-    shape = [n]
-    for s in spatial:
-        shape += [s // 2, 2]
-    dense = dense.reshape(shape + [c])
-    axes = tuple(2 + 2 * i for i in range(d))
-    pooled = dense.mean(axis=axes)
-    return pack(pooled, block_out)
+    n = x.shape[0]
+    grid = list(x.shape[1 : 1 + d])
+    B = block_size(block_in)
+    c = x.shape[-1] // B
+    # channels -> explicit (c, p0, ..., pd-1) (c-major packing order)
+    y = x.reshape([n] + grid + [c] + list(block_in))
+    # 1) phase-pool dims with b >= 2: p -> (p//2, p%2), mean over p%2
+    for i, b in enumerate(block_in):
+        if b == 1:
+            continue
+        ax = 1 + d + 1 + i
+        shape = list(y.shape)
+        shape[ax : ax + 1] = [b // 2, 2]
+        y = y.reshape(shape).mean(axis=ax + 1)
+    mid = tuple(max(b // 2, 1) for b in block_in)
+    # 2) grid-pool dims with b == 1: crop odd tail + mean adjacent cells
+    for i, b in enumerate(block_in):
+        if b != 1:
+            continue
+        gax = 1 + i
+        g = y.shape[gax]
+        if g % 2:
+            idx = [slice(None)] * y.ndim
+            idx[gax] = slice(0, g - 1)
+            y = y[tuple(idx)]
+        shape = list(y.shape)
+        shape[gax : gax + 1] = [shape[gax] // 2, 2]
+        y = y.reshape(shape).mean(axis=gax + 1)
+    # 3) re-block mid -> block_out: split raised dims' grids, move parity
+    # into the phase (slower than the surviving mid phase)
+    raised = [i for i in range(d) if block_out[i] != mid[i]]
+    for i in raised:
+        if block_out[i] != 2 * mid[i]:
+            raise ValueError(
+                f"unsupported pool re-block {mid[i]} -> {block_out[i]} (dim {i})"
+            )
+    if raised:
+        shape = [n]
+        for i in range(d):
+            g = y.shape[1 + i]
+            shape += [g // 2, 2] if i in raised else [g]
+        shape += [c] + list(mid)
+        y = y.reshape(shape)
+        ptr = 1
+        grid_axes, e_axes = [], {}
+        for i in range(d):
+            grid_axes.append(ptr)
+            ptr += 1
+            if i in raised:
+                e_axes[i] = ptr
+                ptr += 1
+        c_ax = ptr
+        q_axes = [c_ax + 1 + i for i in range(d)]
+        perm = [0] + grid_axes + [c_ax]
+        for i in range(d):
+            if i in raised:
+                perm.append(e_axes[i])
+            perm.append(q_axes[i])
+        y = y.transpose(perm)
+    out_grid = list(y.shape[1 : 1 + d])
+    return y.reshape([n] + out_grid + [c * block_size(tuple(block_out))])
 
 
 class PackedConv(nn.Module):

@@ -34,6 +34,29 @@ from cinemri_tpu.utils.compile_cache import enable_compile_cache
 # recompiles of the same tiny programs (VERDICT r1 weak #7)
 enable_compile_cache()
 
+import pytest
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _no_cache_for_torch_parity_modules(request):
+    """Disable the persistent compile cache inside the torch-parity modules.
+
+    XLA:CPU's executable (de)serialization segfaults deterministically under
+    late-suite process state — always on a program belonging to
+    test_reference_parity/test_interop (observed in both the write and the
+    read path; the same entries (de)serialize fine in isolated runs). Those
+    modules' programs are tiny (seconds to compile), so they skip the cache
+    entirely; everything else keeps warm-cache speed.
+    """
+    mod = request.module.__name__.rsplit(".", 1)[-1]
+    if mod not in ("test_reference_parity", "test_interop"):
+        yield
+        return
+    prev = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    yield
+    jax.config.update("jax_compilation_cache_dir", prev)
+
 import numpy as np
 import pytest
 

@@ -211,6 +211,26 @@ class TestWavelet:
         np.testing.assert_allclose(y[0, :, :, 2], -x1 + x2 - x3 + x4, atol=1e-6)
         np.testing.assert_allclose(y[0, :, :, 3], x1 - x2 - x3 + x4, atol=1e-6)
 
+    def test_packed_dwt_equals_dense(self, rng):
+        """dwt2_from_packed(pack(x)) == dwt2(x): the phase-space butterfly
+        (ops/wavelet.py) matches the dense path exactly."""
+        from cinemri_tpu.models.denoisers.packed_unet import pack
+        from cinemri_tpu.ops.wavelet import dwt2_from_packed
+
+        x = jnp.asarray(rng.standard_normal((2, 16, 20, 3)).astype(np.float32))
+        want = np.asarray(ops.dwt2(x))
+        got = np.asarray(dwt2_from_packed(pack(x, (2, 2))))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_packed_iwt_equals_dense(self, rng):
+        from cinemri_tpu.models.denoisers.packed_unet import pack
+        from cinemri_tpu.ops.wavelet import iwt2_to_packed
+
+        y = jnp.asarray(rng.standard_normal((2, 8, 10, 12)).astype(np.float32))
+        want = np.asarray(pack(ops.iwt2(y), (2, 2)))
+        got = np.asarray(iwt2_to_packed(y))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
 
 def _ssim_oracle_frame(x, y, drange, win=7, k1=0.01, k2=0.03):
     """Direct numpy oracle for the training-loss SSIM of one frame (VALID conv)."""
