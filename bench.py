@@ -9,10 +9,12 @@ traintest_scripts/run_inference.py:53-61, at its default config):
     mask @4x with 10 center lines;
   * timed jitted forward, device-synchronized, best of several runs.
 
-Headline dtype is the bf16 activation mode (params/DC f32): certified
-within the north star's matched-SSIM budget at the reference's own full
-150-epoch schedule (dSSIM -0.00082; BASELINE.md "bf16 activation mode").
-The f32-exact path reports alongside as f32_frames_per_sec.
+Headline mode is bf16 activations + DFT matmuls at precision HIGH
+(bf16x6 passes; params/DC accumulation f32): certified within the north
+star's matched-SSIM budget at the reference's own full 150-epoch schedule
+(dSSIM -0.00083, bench/parity_head_to_head.py --epochs 150 --bf16
+--dft_precision high; BASELINE.md). The f32-exact path reports alongside
+as f32_frames_per_sec.
 
 Baseline: the reference PyTorch VarNet-XF forward on this machine's CPU
 (torch 2.13+cpu, 1 core): 32.3 s/volume = 0.464 frames/sec, measured with
@@ -103,12 +105,15 @@ def main():
     except Exception:
         pass  # cost model unavailable on this backend; keep fps-only output
 
-    # headline: the bf16 activation mode — certified inside the north star's
-    # ΔSSIM<0.001 budget at the reference's own full 150-epoch schedule
-    # (BASELINE.md "bf16 activation mode"); f32-exact reports alongside.
-    # Falls back to the f32 number if the bf16 path ever fails to build.
+    # headline: bf16 activations + DFT precision HIGH — certified inside the
+    # north star's ΔSSIM<0.001 budget at the reference's own full 150-epoch
+    # schedule (BASELINE.md trained-parity bf16 rows); f32-exact reports
+    # alongside. Falls back to the f32 number if the fast path fails.
     bf16_fps = None
     try:
+        from cinemri_tpu.ops.fft import set_dft_precision
+
+        set_dft_precision("high")
         model16 = build_model(
             "varnet", "XF", num_cascades=10, sens_chans=8, sens_pools=3,
             chans=16, pools=3, bf16=True,
@@ -141,7 +146,7 @@ def main():
                 "unit": "frames/sec",
                 "vs_baseline": round(headline / REFERENCE_CPU_FRAMES_PER_SEC, 2),
                 "mfu": mfu,
-                "dtype": "bf16" if bf16_fps is not None else "f32",
+                "dtype": "bf16+dft_high" if bf16_fps is not None else "f32",
                 "f32_frames_per_sec": round(fps, 1),
             }
         )
