@@ -64,6 +64,7 @@ def main(full: bool = False, packed: bool = False, bf16: bool = False, only: str
             ("cinenet", "CRNN", dict(num_cascades=10, cg_iters=6, chans=16)),
             ("varnet", "3D", dict(num_cascades=10, sens_chans=8, sens_pools=3, chans=16, pools=3)),
             ("cinenet", "3D", dict(num_cascades=10, cg_iters=6, chans=16, pools=3)),
+            ("xpdnet", "CRNN", dict(num_cascades=9, sens_chans=8, sens_pools=3, chans=18, n_primal=5)),
         ]
 
     wanted = {x.strip() for x in only.split(",") if x.strip()}

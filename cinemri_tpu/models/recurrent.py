@@ -360,6 +360,65 @@ class _XPDNetRNNStep(nn.Module):
         return carry, None
 
 
+class _XPDNetRNNPackedStep(nn.Module):
+    """Kernel-DC scan step carrying the primal buffer in PACKED layout.
+
+    The dense kernel-DC body pays a full-resolution lane-padded repack of
+    the (2(n+1))-channel buffer every cascade (split_ri / pack2 / unpack2 /
+    merge_ri round trips on a 10-channel, 128-lane-padded tensor — ~20% of
+    xpdnet-CRNN latency in the round-3 profile). Because :func:`pack` is
+    c-major, packed channel slices ARE logical channel slices, so the
+    buffer can live packed across the whole cascade scan: only the head
+    slot (2 of 2n real channels) is unpacked for the physics op and only
+    the backward-residual (2 channels) is packed per cascade; pack/unpack
+    of the full buffer happens once outside the scan. Exact — same trunk
+    params, same math, asserted by TestPackedModels[xpdnet-CRNN].
+    """
+
+    chans: int
+    n_primal: int
+    dtype: jnp.dtype = jnp.float32
+    block: tuple = ()
+
+    @nn.compact
+    def __call__(self, carry, sens_maps, x_ref, dc_kernel):
+        trunk = CRNNTrunk(
+            self.chans,
+            in_ch=2 * (self.n_primal + 1),
+            out_ch=2 * self.n_primal,
+            dtype=self.dtype,
+            block=self.block,
+            name="trunk",
+        )
+        buf_p, hiddens = carry  # (t, b, hq, wq, 2n*B) real, c-major packed
+        t, b, hq, wq, _ = buf_p.shape
+        n = self.n_primal
+        B = self.block[0] * self.block[1]
+
+        # head = complex buffer slot 0 = real channels {0, n} of the carry
+        # (to_multi_channels is re-block-then-im-block, cplx.py:190-193)
+        head_re = unpack2(buf_p[..., 0:B], self.block)[..., 0]  # (t,b,h,w)
+        head_im = unpack2(buf_p[..., n * B : (n + 1) * B], self.block)[..., 0]
+        head = Complex(head_re, head_im).transpose(1, 0, 2, 3)[:, :, None]
+
+        # measurements-residual K-step + backward op, collapsed to image
+        # space (see _xpdnet_rnn_body's kernel branch)
+        bwd = (
+            normal_plus_lambda_kernel(head, dc_kernel, sens_maps, 0.0) - x_ref
+        )[:, :, 0]  # (b, t, h, w) Complex
+        bwd_re = pack2(bwd.re.transpose(1, 0, 2, 3)[..., None], self.block)
+        bwd_im = pack2(bwd.im.transpose(1, 0, 2, 3)[..., None], self.block)
+
+        # packed trunk input == pack2(split_ri(concat(buffer, bwd))):
+        # c-major packing makes it a pure channel concat of packed slices
+        x_p = jnp.concatenate(
+            [buf_p[..., : n * B], bwd_re, buf_p[..., n * B :], bwd_im], axis=-1
+        )
+        x4, hiddens = trunk(x_p, hiddens)  # (t*b, hq, wq, 2n*B)
+        buf_p = buf_p + x4.reshape(t, b, hq, wq, 2 * n * B)
+        return (buf_p, hiddens), None
+
+
 class XPDNetRNN(nn.Module):
     """XPDNet-CRNN hybrid (recurrent_xpdnet.py:14-239): primal-dual buffers
     with a CRNN image correction over the (n_primal+1)-channel buffer.
@@ -402,6 +461,31 @@ class XPDNetRNN(nn.Module):
         if self.primal_only:
             use_kernel = self.kernel_dc and is_line_mask(mask)
             dc_kernel = masked_normal_kernel(mask) if use_kernel else None
+            if use_kernel and block:
+                # kernel-DC packed mode: carry the buffer packed across the
+                # scan (the dead k-space buffer is dropped entirely); one
+                # pack here, one unpack after the scan
+                buf_p = pack2(
+                    _split_ri(image_buffer).transpose(1, 0, 2, 3, 4), block
+                )
+                step_cls = (
+                    nn.remat(_XPDNetRNNPackedStep)
+                    if self.remat
+                    else _XPDNetRNNPackedStep
+                )
+                scan = nn.scan(
+                    step_cls,
+                    variable_broadcast="params",
+                    split_rngs={"params": False},
+                    in_axes=(nn.broadcast,) * 3,
+                    length=self.num_cascades,
+                )
+                (buf_p, _), _ = scan(
+                    chans=self.chans, n_primal=self.n_primal, dtype=dtype,
+                    block=block, name="iterations"
+                )((buf_p, hiddens), sens_maps, x_ref, dc_kernel)
+                buf = _merge_ri(unpack2(buf_p, block))  # (t,b,h,w,n) Complex
+                return buf[..., 0].transpose(1, 0, 2, 3).abs()
             # all weights iteration-shared: scan + remat
             step_cls = nn.remat(_XPDNetRNNStep) if self.remat else _XPDNetRNNStep
             scan = nn.scan(

@@ -458,6 +458,25 @@ class TestPackedModels:
         s = np.abs(a).max() + 1e-12
         np.testing.assert_allclose(a / s, b / s, atol=5e-4)
 
+    def test_xpdnet_crnn_packed_gradients_match(self, batch):
+        """The packed-carry kernel-DC scan (recurrent._XPDNetRNNPackedStep)
+        restructures the cascade loop itself, so gradient equality needs
+        its own assertion (packed is the training default for CRNN)."""
+        import jax
+
+        kwargs = dict(CRNN_SMALL["xpdnet"])
+        plain = build_model("xpdnet", "CRNN", **kwargs)
+        packed = build_model("xpdnet", "CRNN", packed=True, **kwargs)
+        k, m, _ = batch
+        params = plain.init(jax.random.PRNGKey(0), k, m)
+        g1 = jax.grad(lambda p: jnp.sum(plain.apply(p, k, m) ** 2))(params)
+        g2 = jax.grad(lambda p: jnp.sum(packed.apply(p, k, m) ** 2))(params)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            s = np.abs(np.asarray(a)).max() + 1e-12
+            np.testing.assert_allclose(
+                np.asarray(a) / s, np.asarray(b) / s, atol=1e-3
+            )
+
 
 class TestBf16Mode:
     """bf16 activation mode: close to f32 outputs, f32 params/grads."""
