@@ -37,25 +37,46 @@ enable_compile_cache()
 import pytest
 
 
-@pytest.fixture(scope="module", autouse=True)
-def _no_cache_for_torch_parity_modules(request):
-    """Disable the persistent compile cache inside the torch-parity modules.
+def _map_count():
+    try:
+        with open("/proc/self/maps") as f:
+            return sum(1 for _ in f)
+    except OSError:
+        return None
 
-    XLA:CPU's executable (de)serialization segfaults deterministically under
-    late-suite process state — always on a program belonging to
-    test_reference_parity/test_interop (observed in both the write and the
-    read path; the same entries (de)serialize fine in isolated runs). Those
-    modules' programs are tiny (seconds to compile), so they skip the cache
-    entirely; everything else keeps warm-cache speed.
+
+_MAPS_CLEAR_THRESHOLD = 30_000
+_tests_since_clear = [0]
+
+
+@pytest.fixture(autouse=True)
+def _bound_live_executables():
+    """Release compiled executables before the process nears the mmap cap.
+
+    Root cause of the historic late-suite segfaults (watched via
+    /proc/<pid>/maps during full solo runs): every live XLA:CPU executable
+    holds multiple memory mappings, jax's in-process jit caches keep every
+    executable of every test alive, and partway through the suite the
+    process hits vm.max_map_count (65530) — the next mmap fails and
+    whatever mmap-heavy op runs next (usually compile-cache
+    deserialization, historically misdiagnosed as the cause) segfaults.
+    A per-module clear is not enough (test_models alone crosses 50k maps),
+    so this clears jax's caches whenever the live map count passes a safe
+    threshold (fallback: every 40 tests if /proc is unavailable). Observed
+    effect: maps drop back to ~1-3k per clear; the persistent compile
+    cache makes the re-JITs disk reads.
     """
-    mod = request.module.__name__.rsplit(".", 1)[-1]
-    if mod not in ("test_reference_parity", "test_interop"):
-        yield
-        return
-    prev = jax.config.jax_compilation_cache_dir
-    jax.config.update("jax_compilation_cache_dir", None)
     yield
-    jax.config.update("jax_compilation_cache_dir", prev)
+    import gc
+
+    _tests_since_clear[0] += 1
+    m = _map_count()
+    if (m is not None and m > _MAPS_CLEAR_THRESHOLD) or (
+        m is None and _tests_since_clear[0] >= 40
+    ):
+        jax.clear_caches()
+        gc.collect()
+        _tests_since_clear[0] = 0
 
 import numpy as np
 import pytest
