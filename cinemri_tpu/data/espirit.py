@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["espirit_maps", "calibration_matrix_gram"]
+__all__ = ["espirit_maps", "espirit_maps_multi", "calibration_matrix_gram"]
 
 
 def _extract_calib(kspace: np.ndarray, calib_size: int) -> np.ndarray:
@@ -137,4 +137,68 @@ def espirit_maps(
     maps = np.moveaxis(maps, -1, 0).astype(np.complex64)
     if return_eigenvalues:
         return maps, top_val.astype(np.float32)
+    return maps
+
+
+def espirit_maps_multi(
+    kspace: np.ndarray,
+    num_maps: int = 2,
+    calib_size: int = 24,
+    kernel_size: int = 6,
+    thresh: float = 0.001,
+    crop: float = 0.8,
+    return_eigenvalues: bool = False,
+):
+    """Multi-set ESPIRiT maps for soft-SENSE reconstruction.
+
+    BART's ``ecalib`` emits multiple eigenvector sets by default (``-m``);
+    the reference keeps only the first (mri_data.py:294-298). The further
+    sets carry signal wherever the pointwise operator has more than one
+    eigenvalue near 1 — i.e. where the FOV is aliased — and reconstructing
+    with all of them (soft-SENSE, Uecker et al. 2014 §"Soft SENSE") removes
+    the aliased-FOV artifacts hard-SENSE models fold into the image. Out of
+    reference scope (its volumes are full-FOV) but standard practice; the
+    operator pair lives in :func:`cinemri_tpu.physics.soft_sense_expand` /
+    ``soft_sense_reduce``.
+
+    Returns ``(m, c, h, w)`` complex64 maps — set 0 equals
+    :func:`espirit_maps`'s output — each set phase-referenced to coil 0 and
+    hard-cropped where ITS eigenvalue is below ``crop``; optionally also
+    the ``(m, h, w)`` eigenvalues.
+    """
+    kspace = np.asarray(kspace, np.complex64)
+    if kspace.ndim != 3:
+        raise ValueError(f"expected (c, h, w) k-space, got {kspace.shape}")
+    c, h, w = kspace.shape
+    if not 1 <= num_maps <= c:
+        raise ValueError(f"num_maps must be in [1, {c}], got {num_maps}")
+    k = int(kernel_size)
+
+    calib = _extract_calib(kspace, int(calib_size)).astype(np.complex128)
+    gram = calibration_matrix_gram(calib, k)
+    evals, evecs = np.linalg.eigh(gram)
+    weights = (evals > (thresh ** 2) * evals[-1]).astype(gram.dtype)
+    p = (evecs * weights[None, :]) @ evecs.conj().T
+    q = _autocorrelation(p, c, k)
+
+    grid = np.zeros((c, c, h, w), dtype=np.complex128)
+    dy = np.arange(-k + 1, k) % h
+    dx = np.arange(-k + 1, k) % w
+    grid[:, :, dy[:, None], dx[None, :]] = q
+    g = np.fft.ifft2(grid, axes=(-2, -1)) * (h * w) / (k * k)
+    g = np.fft.fftshift(g, axes=(-2, -1))
+    g = np.moveaxis(g, (0, 1), (2, 3))
+    g = 0.5 * (g + np.conj(np.swapaxes(g, -1, -2)))
+
+    evals_g, evecs_g = np.linalg.eigh(g)  # ascending
+    m = int(num_maps)
+    vals = evals_g[..., : -m - 1 : -1].real  # (h, w, m) descending
+    sets = evecs_g[..., : -m - 1 : -1]  # (h, w, c, m) descending
+
+    phase = np.exp(-1j * np.angle(sets[..., :1, :]))
+    sets = sets * phase
+    sets = sets * (vals[..., None, :] >= crop)
+    maps = np.moveaxis(sets, (-1, -2), (0, 1)).astype(np.complex64)  # (m,c,h,w)
+    if return_eigenvalues:
+        return maps, np.moveaxis(vals, -1, 0).astype(np.float32)
     return maps

@@ -11,6 +11,10 @@ from cinemri_tpu.physics.operators import (
     normal_plus_lambda_kernel,
     coil_weight,
     soft_dc_image_kernel,
+    soft_sense_expand,
+    soft_sense_reduce,
+    soft_sense_rss,
+    soft_sense_recon,
 )
 from cinemri_tpu.physics.cg import conj_grad
 from cinemri_tpu.physics.lowfreq import (
@@ -30,6 +34,10 @@ __all__ = [
     "normal_plus_lambda_kernel",
     "coil_weight",
     "soft_dc_image_kernel",
+    "soft_sense_expand",
+    "soft_sense_reduce",
+    "soft_sense_rss",
+    "soft_sense_recon",
     "conj_grad",
     "center_band",
     "mask_center_band",

@@ -214,3 +214,67 @@ def normal_plus_lambda_kernel(x, kernel: Complex, sens_maps, lam) -> Complex:
     t3 = mm(kr + ki, y.re + y.im)
     z = Complex(t1 - t2, t3 - t1 - t2)
     return csum(z * sens.conj(), axis=COIL_AXIS, keepdims=True) + lam * x
+
+
+def soft_sense_expand(components, sens_maps_multi) -> Complex:
+    """Soft-SENSE forward: component images -> multi-coil k-space.
+
+    ``components``: (b, t, m, h, w) Complex — one image per ESPIRiT
+    eigenvector set (data/espirit.py::espirit_maps_multi); 
+    ``sens_maps_multi``: (b, m, c, h, w). Returns ``F Σ_m S_m ⊙ x_m``
+    of shape (b, t, c, h, w). With m=1 this is exactly :func:`sens_expand`.
+    Soft-SENSE (Uecker et al. 2014) models aliased-FOV acquisitions the
+    reference's hard single-map model cannot represent; out of reference
+    scope, adjoint-tested against :func:`soft_sense_reduce`.
+    """
+    x = _c(components)
+    s = _c(sens_maps_multi)
+    coil = csum(x[:, :, :, None] * s[:, None], axis=2)  # (b, t, c, h, w)
+    return fft2c(coil)
+
+
+def soft_sense_reduce(kspace, sens_maps_multi) -> Complex:
+    """Soft-SENSE adjoint: multi-coil k-space -> per-set component images.
+
+    ``kspace``: (b, t, c, h, w); ``sens_maps_multi``: (b, m, c, h, w).
+    Returns (b, t, m, h, w): ``x_m = Σ_c conj(S_m) ⊙ F⁻¹ k``. With m=1
+    this is exactly :func:`sens_reduce`.
+    """
+    img = ifft2c(_c(kspace))  # (b, t, c, h, w)
+    s = _c(sens_maps_multi)
+    return csum(img[:, :, None] * s[:, None].conj(), axis=3)
+
+
+def soft_sense_rss(components) -> jnp.ndarray:
+    """Magnitude recon from soft-SENSE components: sqrt(Σ_m |x_m|²)."""
+    x = _c(components)
+    return jnp.sqrt((x.abs() ** 2).sum(axis=2))
+
+
+def soft_sense_recon(
+    masked_kspace, mask: jnp.ndarray, sens_maps_multi, lam: float = 1e-2,
+    iters: int = 10, return_components: bool = False,
+):
+    """CG-SENSE reconstruction over multiple ESPIRiT map sets.
+
+    Solves ``(Aᴴ M A + λ) x = Aᴴ y`` for the component images
+    ``x: (b, t, m, h, w)`` with ``A = soft_sense_expand`` and returns the
+    RSS-combined magnitude (b, t, h, w). With aliased-FOV acquisitions the
+    m ≥ 2 sets let the model represent the folded signal the reference's
+    single-map pipeline cannot (Uecker et al. 2014, soft-SENSE); with m=1
+    this is plain CG-SENSE. Beyond reference scope; exercised end-to-end by
+    tests/test_espirit.py::TestSoftSenseOps::test_recon_dealiases.
+    """
+    from cinemri_tpu.physics.cg import conj_grad
+
+    y = apply_mask(masked_kspace, mask)
+    rhs = soft_sense_reduce(y, sens_maps_multi)
+
+    def normal(x):
+        k = apply_mask(soft_sense_expand(x, sens_maps_multi), mask)
+        return soft_sense_reduce(k, sens_maps_multi) + lam * _c(x)
+
+    x = conj_grad(normal, rhs, rhs, iters=iters)
+    if return_components:
+        return x
+    return soft_sense_rss(x)
