@@ -107,11 +107,20 @@ def _zero_hiddens(
     )
 
 
-def _trunk_block(h: int, w: int, packed: bool) -> tuple:
-    """(2, 2) when the trunk can run space-to-depth packed (raises the conv
-    lane width from chans~18 to ~72 of the 128 lanes, cutting the padded
-    HBM traffic ~4x); () when dims are odd or packing is off."""
-    return (2, 2) if (packed and h % 2 == 0 and w % 2 == 0) else ()
+def _trunk_block(h: int, w: int, packed: bool, chans: int = 18) -> tuple:
+    """Space-to-depth block for the CRNN trunk, sized to the 128-lane TPU
+    register width: (2, 2) lifts chans~16-18 to ~64-72 lanes (cutting the
+    padded HBM traffic ~4x), but at CineNet-CRNN's chans=64 a (2, 2) block
+    would over-pack to 256 lanes — kernel FLOPs 4x denser with no further
+    lane benefit — so wide trunks use (1, 2) (128 lanes exactly).
+    () when dims are odd or packing is off."""
+    if not packed or h % 2 or w % 2:
+        return ()
+    if chans * 4 <= 128:
+        return (2, 2)
+    if chans * 2 <= 128:
+        return (1, 2)
+    return ()
 
 
 def _image_to_tb(x) -> jnp.ndarray:
@@ -179,7 +188,7 @@ class VarNetRNN(nn.Module):
         x_ref = sens_reduce(ref_kspace, sens_maps)  # (b, t, 1, h, w)
         x = x_ref[:, :, 0]
         b, t, h, w = x.shape
-        block = _trunk_block(h, w, self.packed)
+        block = _trunk_block(h, w, self.packed, self.chans)
         hiddens = _zero_hiddens(t, b, h, w, self.chans, dtype, block)
 
         use_kernel = self.kernel_dc and is_line_mask(mask)
@@ -253,7 +262,7 @@ class CineNetRNN(nn.Module):
         x_ref = sens_reduce(ref_kspace, sens_maps)  # (b, t, 1, h, w)
         x = x_ref[:, :, 0]
         b, t, h, w = x.shape
-        block = _trunk_block(h, w, self.packed)
+        block = _trunk_block(h, w, self.packed, self.chans)
         hiddens = _zero_hiddens(t, b, h, w, self.chans, dtype, block)
         dc_kernel = (
             masked_normal_kernel(mask)
@@ -454,7 +463,7 @@ class XPDNetRNN(nn.Module):
 
         b, t, h, w = image.shape
         dtype = jnp.bfloat16 if self.bf16 else jnp.float32
-        block = _trunk_block(h, w, self.packed)
+        block = _trunk_block(h, w, self.packed, self.chans)
         hiddens = _zero_hiddens(t, b, h, w, self.chans, dtype, block)
         carry = (image_buffer, kspace_buffer, hiddens)
 

@@ -458,6 +458,25 @@ class TestPackedModels:
         s = np.abs(a).max() + 1e-12
         np.testing.assert_allclose(a / s, b / s, atol=5e-4)
 
+    def test_wide_trunk_uses_half_block_and_matches(self, batch):
+        """chans > 32 trunks pack (1, 2) — 128 lanes exactly, not 256
+        (recurrent._trunk_block); equality must hold on that branch too."""
+        from cinemri_tpu.models.recurrent import _trunk_block
+
+        assert _trunk_block(16, 16, True, 18) == (2, 2)
+        assert _trunk_block(16, 16, True, 64) == (1, 2)
+        assert _trunk_block(16, 16, True, 200) == ()
+        assert _trunk_block(15, 16, True, 18) == ()
+
+        kwargs = dict(CRNN_SMALL["cinenet"], chans=34)  # selects (1, 2)
+        plain = build_model("cinenet", "CRNN", **kwargs)
+        packed = build_model("cinenet", "CRNN", packed=True, **kwargs)
+        params, out_plain = _apply(plain, "cinenet", batch)
+        _, out_packed = _apply(packed, "cinenet", batch, params)
+        a, b = np.asarray(out_plain), np.asarray(out_packed)
+        s = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(a / s, b / s, atol=5e-4)
+
     def test_xpdnet_crnn_packed_gradients_match(self, batch):
         """The packed-carry kernel-DC scan (recurrent._XPDNetRNNPackedStep)
         restructures the cascade loop itself, so gradient equality needs
