@@ -24,6 +24,7 @@ from __future__ import annotations
 import dataclasses
 import hashlib
 import logging
+import os
 import pickle
 import random
 from pathlib import Path
@@ -48,6 +49,11 @@ class PreprocessConfig:
     n_slices: int = 15
     filter_size: Tuple[float, float, float, float] = (0.7, 0.0, 0.3, 0.3)
     calib_size: int = 200  # BART `ecalib -r 200` (mri_data.py:296)
+    # "numpy" | "native": which ESPIRiT runs the cold calibration pass.
+    # "native" is the dependency-free C++ library (cinemri_tpu.native) —
+    # the same role BART's C code plays for the reference; cross-validated
+    # in tests/test_native.py. Env override: CINEMRI_ESPIRIT_ENGINE.
+    espirit_engine: str = "numpy"
 
     def scaled_to(self, h: int, w: int, t: int) -> "PreprocessConfig":
         """Shrink crops/calibration to fit small (test) volumes."""
@@ -93,8 +99,6 @@ def preprocess_volume(
     The unnormalized-FFT-and-rescale dance in the reference is equivalent to
     ortho-normalized centered transforms for these even crop sizes.
     """
-    from cinemri_tpu.data.espirit import espirit_maps  # lazy: pulls in jax
-
     kspace = np.asarray(raw_kspace, np.complex64) * cfg.scaling
     kspace = kspace.transpose(0, 3, 1, 2)  # (t, c, h, w)
     images = _ifft2c_np(kspace)
@@ -104,7 +108,12 @@ def preprocess_volume(
     kspace = _fft2c_np(images_filter).astype(np.complex64)  # (t, c, h', w')
 
     tavg = kspace.mean(axis=0)
-    sens = np.asarray(espirit_maps(tavg, calib_size=cfg.calib_size))  # (c, h', w')
+    engine = os.environ.get("CINEMRI_ESPIRIT_ENGINE", cfg.espirit_engine)
+    if engine == "native":
+        from cinemri_tpu.native import espirit_maps_native as _espirit
+    else:
+        from cinemri_tpu.data.espirit import espirit_maps as _espirit  # lazy
+    sens = np.asarray(_espirit(tavg, calib_size=cfg.calib_size))  # (c, h', w')
 
     target = np.abs((images_filter * np.conj(sens)[None]).sum(axis=1)).astype(
         np.float32

@@ -63,3 +63,42 @@ class TestNativeEspirit:
         sup = phantom["image"].mean(0) > 0.15 * phantom["image"].mean(0).max()
         err = np.abs(np.abs(maps) - np.abs(phantom["sens"]))[:, sup]
         assert np.median(err) < 0.05
+
+
+class TestEngineSelection:
+    """PreprocessConfig.espirit_engine routes the cold calibration pass."""
+
+    def test_native_engine_in_preprocess(self, phantom):
+        from cinemri_tpu.data.dataset import PreprocessConfig, preprocess_volume
+
+        raw = np.transpose(np.asarray(phantom["kspace"]), (0, 2, 3, 1)) / 1e6
+        t, h, w, c = raw.shape
+        base = PreprocessConfig().scaled_to(h, w, t)
+        out_np = preprocess_volume(raw, base)
+        out_nat = preprocess_volume(
+            raw, __import__("dataclasses").replace(base, espirit_engine="native")
+        )
+        assert out_nat["sens"].shape == out_np["sens"].shape
+        # targets are |sum img conj(sens)| — insensitive to per-pixel map
+        # phase freedom, so the two engines must agree closely there
+        a, b = out_np["target"], out_nat["target"]
+        s = a.max() + 1e-12
+        np.testing.assert_allclose(a / s, b / s, atol=5e-3)
+
+    def test_env_var_overrides(self, phantom, monkeypatch):
+        import cinemri_tpu.data.dataset as ds
+
+        raw = np.transpose(np.asarray(phantom["kspace"]), (0, 2, 3, 1)) / 1e6
+        t, h, w, c = raw.shape
+        base = ds.PreprocessConfig().scaled_to(h, w, t)
+        calls = []
+        import cinemri_tpu.native as nat
+
+        real = nat.espirit_maps_native
+        monkeypatch.setattr(
+            nat, "espirit_maps_native",
+            lambda *a, **k: (calls.append(1), real(*a, **k))[1],
+        )
+        monkeypatch.setenv("CINEMRI_ESPIRIT_ENGINE", "native")
+        ds.preprocess_volume(raw, base)
+        assert calls, "native engine was not invoked despite the env override"
