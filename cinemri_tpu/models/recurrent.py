@@ -457,15 +457,12 @@ class XPDNetRNN(nn.Module):
         )(ref_kspace, mask)
         x_ref = sens_reduce(apply_mask(ref_kspace, mask), sens_maps)
         image = x_ref[:, :, 0]
-        k_buf_size = 1 if self.primal_only else self.n_dual
         image_buffer = crepeat(image[..., None], self.n_primal, axis=-1)
-        kspace_buffer = crepeat(ref_kspace[..., None], k_buf_size, axis=-1)
 
         b, t, h, w = image.shape
         dtype = jnp.bfloat16 if self.bf16 else jnp.float32
         block = _trunk_block(h, w, self.packed, self.chans)
         hiddens = _zero_hiddens(t, b, h, w, self.chans, dtype, block)
-        carry = (image_buffer, kspace_buffer, hiddens)
 
         if self.primal_only:
             use_kernel = self.kernel_dc and is_line_mask(mask)
@@ -496,6 +493,8 @@ class XPDNetRNN(nn.Module):
                 buf = _merge_ri(unpack2(buf_p, block))  # (t,b,h,w,n) Complex
                 return buf[..., 0].transpose(1, 0, 2, 3).abs()
             # all weights iteration-shared: scan + remat
+            kspace_buffer = crepeat(ref_kspace[..., None], 1, axis=-1)
+            carry = (image_buffer, kspace_buffer, hiddens)
             step_cls = nn.remat(_XPDNetRNNStep) if self.remat else _XPDNetRNNStep
             scan = nn.scan(
                 step_cls,
@@ -510,6 +509,8 @@ class XPDNetRNN(nn.Module):
             )(carry, ref_kspace, mask, sens_maps, x_ref if use_kernel else None, dc_kernel)
         else:
             # shared trunk, per-iteration k-space nets (recurrent_xpdnet.py:66-73)
+            kspace_buffer = crepeat(ref_kspace[..., None], self.n_dual, axis=-1)
+            carry = (image_buffer, kspace_buffer, hiddens)
             trunk = CRNNTrunk(
                 self.chans,
                 in_ch=2 * (self.n_primal + 1),
