@@ -38,7 +38,8 @@ CRNN_TINY = dict(
 )
 
 
-def run_config(root, family, dynamic_type, acceleration, epochs, bf16=False):
+def run_config(root, family, dynamic_type, acceleration, epochs, bf16=False,
+               packed=False):
     from cinemri_tpu.data import (
         CineNetDataTransform,
         RandomMask,
@@ -68,6 +69,8 @@ def run_config(root, family, dynamic_type, acceleration, epochs, bf16=False):
     kwargs = dict((CRNN_TINY if dynamic_type == "CRNN" else TINY)[family])
     if bf16 and family in ("varnet", "cinenet"):
         kwargs["bf16"] = True
+    if packed:
+        kwargs["packed"] = True
     model = build_model(family, dynamic_type, **kwargs)
     trainer = Trainer(
         model,
@@ -89,7 +92,8 @@ def run_config(root, family, dynamic_type, acceleration, epochs, bf16=False):
             zf_ssim.append(M.ssim(tgt[i], zf[i], maxval=float(batch["max_value"][i])))
 
     print(json.dumps({
-        "config": f"{family}-{dynamic_type}@{acceleration}x" + ("-bf16" if bf16 else ""),
+        "config": f"{family}-{dynamic_type}@{acceleration}x"
+                  + ("-bf16" if bf16 else "") + ("-packed" if packed else ""),
         "epochs": epochs,
         "train_min": round(train_min, 1),
         "final_loss": round(history[-1]["train_loss"], 4),
@@ -105,6 +109,9 @@ def main():
     ap.add_argument("--set", default="families", choices=("families", "dynamics"))
     ap.add_argument("--bf16", action="store_true",
                     help="train varnet/cinenet configs with bf16 activations")
+    ap.add_argument("--packed", action="store_true",
+                    help="apply the CLI auto rule: packed denoisers for "
+                         "2D/3D/CRNN (cli/common.py)")
     args = ap.parse_args()
 
     from cinemri_tpu.data.synthetic import make_synthetic_dataset
@@ -122,7 +129,8 @@ def main():
 
     for family, dyn, acc in configs:
         try:
-            run_config(root, family, dyn, acc, args.epochs, bf16=args.bf16)
+            run_config(root, family, dyn, acc, args.epochs, bf16=args.bf16,
+                       packed=args.packed and dyn in ("2D", "3D", "CRNN"))
         except Exception as e:
             print(json.dumps({"config": f"{family}-{dyn}@{acc}x",
                               "error": str(e)[:200]}), flush=True)
