@@ -45,7 +45,18 @@ def _map_count():
         return None
 
 
-_MAPS_CLEAR_THRESHOLD = 30_000
+def _maps_clear_threshold() -> int:
+    """Clear headroom scaled to the host's actual limit (55%), so hosts
+    with raised vm.max_map_count pay fewer recompiles and tighter hosts
+    stay safe."""
+    try:
+        with open("/proc/sys/vm/max_map_count") as f:
+            return int(0.55 * int(f.read()))
+    except (OSError, ValueError):
+        return 30_000
+
+
+_MAPS_CLEAR_THRESHOLD = _maps_clear_threshold()
 _tests_since_clear = [0]
 
 
