@@ -123,7 +123,8 @@ if __name__ == "__main__":
     ap.add_argument("--packed", action="store_true",
                     help="space-to-depth denoisers for varnet/cinenet")
     ap.add_argument("--bf16", action="store_true",
-                    help="bf16 activations for varnet/cinenet")
+                    help="bf16 denoiser activations (all families; xpdnet's is "
+                         "outside the certified-quality envelope, BASELINE.md)")
     ap.add_argument("--only", default="", help="comma-separated model-dyn list")
     a = ap.parse_args()
     main(a.full, a.packed, a.only, a.bf16)
