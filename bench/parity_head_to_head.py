@@ -47,6 +47,9 @@ T, C, H, W = 8, 4, 64, 64
 TRAIN_SEEDS = (0, 1, 2)
 TEST_SEED = 3
 TEST_MASK_SEED = 424242
+SEED_OFFSET = 0  # --seed_offset: shifts every data/mask seed for
+                 # across-seed variance runs (the delta budget is tighter
+                 # than single-run noise at this toy scale)
 
 MODEL_KW = {
     "varnet": dict(num_cascades=4, sens_chans=4, sens_pools=2, chans=8, pools=2),
@@ -64,7 +67,7 @@ def make_volumes():
     from cinemri_tpu.data.synthetic import synthetic_volume
 
     def vol(seed):
-        v = synthetic_volume(T, C, H, W, noise=2e-3, seed=seed)
+        v = synthetic_volume(T, C, H, W, noise=2e-3, seed=seed + SEED_OFFSET)
         # target exactly as the reference synthesizes it from calibration
         # maps (mri_data.py:302-303): |sum_c IFFT(k)_c * conj(S_c)|
         imgs = np.fft.fftshift(
@@ -86,12 +89,16 @@ def make_masks(epochs):
     mk = RandomMask([8], [4])
     train_masks = [
         [
-            mk(T, H, seed=100_000 + 1_000 * e + v)[None].astype(np.float32)
+            mk(T, H, seed=100_000 + 1_000 * e + v + SEED_OFFSET)[None].astype(
+                np.float32
+            )
             for v in range(len(TRAIN_SEEDS))
         ]
         for e in range(epochs)
     ]
-    test_mask = mk(T, H, seed=TEST_MASK_SEED)[None].astype(np.float32)
+    test_mask = mk(T, H, seed=TEST_MASK_SEED + SEED_OFFSET)[None].astype(
+        np.float32
+    )
     return train_masks, test_mask  # (1, t, 1, h, 1) float
 
 
@@ -129,7 +136,7 @@ def build_torch_model(family):
     import _torch_ref as tr
 
     ref = tr.load_reference()
-    torch.manual_seed(42)
+    torch.manual_seed(42 + SEED_OFFSET)
     kw = MODEL_KW[family]
     if family == "varnet":
         return ref.varnet.VarNet(dynamic_type="XF", **kw)
@@ -306,7 +313,10 @@ def run_framework(family, params, train, test, train_masks, test_mask, epochs,
 
 
 def main(epochs: int = 30, family: str = "varnet", bf16: bool = False,
-         packed: bool = False, dft_precision: str | None = None):
+         packed: bool = False, dft_precision: str | None = None,
+         seed_offset: int = 0):
+    global SEED_OFFSET
+    SEED_OFFSET = seed_offset
     from cinemri_tpu.ops import metrics as M
 
     train, test = make_volumes()
@@ -334,7 +344,8 @@ def main(epochs: int = 30, family: str = "varnet", bf16: bool = False,
         json.dumps(
             {
                 "family": family + ("-packed" if packed else "") + ("-bf16" if bf16 else "")
-                + (f"-dft_{dft_precision}" if dft_precision else ""),
+                + (f"-dft_{dft_precision}" if dft_precision else "")
+                + (f"-seeds+{seed_offset}" if seed_offset else ""),
                 "epochs": epochs,
                 "ssim_reference": round(float(ssim_ref), 5),
                 "ssim_framework": round(float(ssim_jax), 5),
@@ -363,5 +374,8 @@ if __name__ == "__main__":
                          "(e.g. 'high' = bf16x6 passes; default f32-exact)")
     ap.add_argument("--packed", action="store_true",
                     help="framework side runs space-to-depth packed denoisers")
+    ap.add_argument("--seed_offset", type=int, default=0,
+                    help="shift all data/mask/init seeds (across-seed "
+                         "variance of the delta)")
     a = ap.parse_args()
-    main(a.epochs, a.family, a.bf16, a.packed, a.dft_precision)
+    main(a.epochs, a.family, a.bf16, a.packed, a.dft_precision, a.seed_offset)
