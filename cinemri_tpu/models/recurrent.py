@@ -177,6 +177,9 @@ class VarNetRNN(nn.Module):
     kernel_dc: bool = True  # see VarNet.kernel_dc
     packed: bool = False  # space-to-depth sens-model denoiser
     bf16: bool = False  # bfloat16 trunk activations (see VarNet.bf16)
+    # override the auto space-to-depth block for the CRNN trunk
+    # (default: _trunk_block's 128-lane rule); e.g. (2, 4)
+    trunk_block: tuple = ()
 
     @nn.compact
     def __call__(self, ref_kspace: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -188,7 +191,7 @@ class VarNetRNN(nn.Module):
         x_ref = sens_reduce(ref_kspace, sens_maps)  # (b, t, 1, h, w)
         x = x_ref[:, :, 0]
         b, t, h, w = x.shape
-        block = _trunk_block(h, w, self.packed, self.chans)
+        block = tuple(self.trunk_block) or _trunk_block(h, w, self.packed, self.chans)
         hiddens = _zero_hiddens(t, b, h, w, self.chans, dtype, block)
 
         use_kernel = self.kernel_dc and is_line_mask(mask)
@@ -253,6 +256,9 @@ class CineNetRNN(nn.Module):
     kernel_dc: bool = True  # see CineNet.kernel_dc
     packed: bool = False  # space-to-depth packed CRNN trunk
     bf16: bool = False  # bfloat16 trunk activations (see VarNet.bf16)
+    # override the auto space-to-depth block for the CRNN trunk
+    # (default: _trunk_block's 128-lane rule); e.g. (2, 4)
+    trunk_block: tuple = ()
 
     @nn.compact
     def __call__(
@@ -262,7 +268,7 @@ class CineNetRNN(nn.Module):
         x_ref = sens_reduce(ref_kspace, sens_maps)  # (b, t, 1, h, w)
         x = x_ref[:, :, 0]
         b, t, h, w = x.shape
-        block = _trunk_block(h, w, self.packed, self.chans)
+        block = tuple(self.trunk_block) or _trunk_block(h, w, self.packed, self.chans)
         hiddens = _zero_hiddens(t, b, h, w, self.chans, dtype, block)
         dc_kernel = (
             masked_normal_kernel(mask)
@@ -449,6 +455,9 @@ class XPDNetRNN(nn.Module):
     kernel_dc: bool = True  # see VarNet.kernel_dc (primal_only mode only)
     packed: bool = False  # space-to-depth packed CRNN trunk
     bf16: bool = False  # bfloat16 trunk activations (see VarNet.bf16)
+    # override the auto space-to-depth block for the CRNN trunk
+    # (default: _trunk_block's 128-lane rule); e.g. (2, 4)
+    trunk_block: tuple = ()
 
     @nn.compact
     def __call__(self, ref_kspace: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -461,7 +470,7 @@ class XPDNetRNN(nn.Module):
 
         b, t, h, w = image.shape
         dtype = jnp.bfloat16 if self.bf16 else jnp.float32
-        block = _trunk_block(h, w, self.packed, self.chans)
+        block = tuple(self.trunk_block) or _trunk_block(h, w, self.packed, self.chans)
         hiddens = _zero_hiddens(t, b, h, w, self.chans, dtype, block)
 
         if self.primal_only:

@@ -477,6 +477,20 @@ class TestPackedModels:
         s = np.abs(a).max() + 1e-12
         np.testing.assert_allclose(a / s, b / s, atol=5e-4)
 
+    def test_trunk_block_override_matches(self, batch):
+        """trunk_block=(2, 4) (beyond the auto rule) stays exact — the
+        pack/phase-map machinery is generic over per-dim block factors."""
+        kwargs = dict(CRNN_SMALL["varnet"])
+        plain = build_model("varnet", "CRNN", **kwargs)
+        big = build_model(
+            "varnet", "CRNN", packed=True, trunk_block=(2, 4), **kwargs
+        )
+        params, out_plain = _apply(plain, "varnet", batch)
+        _, out_big = _apply(big, "varnet", batch, params)
+        a, b = np.asarray(out_plain), np.asarray(out_big)
+        s = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(a / s, b / s, atol=5e-4)
+
     def test_xpdnet_crnn_packed_gradients_match(self, batch):
         """The packed-carry kernel-DC scan (recurrent._XPDNetRNNPackedStep)
         restructures the cascade loop itself, so gradient equality needs
