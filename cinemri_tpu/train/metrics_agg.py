@@ -123,7 +123,12 @@ class MetricsAggregator:
             mse_val = float(np.mean(list(self.mse_vals[fname].values())))
             target_norm = float(np.mean(list(self.target_norms[fname].values())))
             nmse += mse_val / target_norm
-            psnr += 20 * np.log10(self.max_vals[fname]) - 10 * np.log10(mse_val)
+            # exact reconstructions (mse 0) legitimately give inf PSNR —
+            # matches the reference's skimage psnr; suppress only the warning
+            with np.errstate(divide="ignore"):
+                psnr += 20 * np.log10(self.max_vals[fname]) - 10 * np.log10(
+                    mse_val
+                )
             ssim += float(np.mean(list(self.ssim_vals[fname].values())))
 
         r = self.reduce_fn
