@@ -377,5 +377,13 @@ if __name__ == "__main__":
     ap.add_argument("--seed_offset", type=int, default=0,
                     help="shift all data/mask/init seeds (across-seed "
                          "variance of the delta)")
+    ap.add_argument("--platform", default=None,
+                    help="pin the jax platform (e.g. 'cpu' when the TPU "
+                         "tunnel is down; env vars alone are too late — "
+                         "sitecustomize imports jax first)")
     a = ap.parse_args()
+    if a.platform:
+        import jax
+
+        jax.config.update("jax_platforms", a.platform)
     main(a.epochs, a.family, a.bf16, a.packed, a.dft_precision, a.seed_offset)
