@@ -35,12 +35,17 @@ def _mfu(jitted, args, seconds: float):
     return round(flops / seconds / peak, 4) if flops > 0 else None
 
 
-def main(full: bool = False, packed: bool = False, only: str = "", bf16: bool = False):
+def main(full: bool = False, packed: bool = False, only: str = "",
+         bf16: bool = False, normal_backend: str = ""):
     import jax
 
     from cinemri_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
+    if normal_backend:
+        from cinemri_tpu.physics.operators import set_normal_backend
+
+        set_normal_backend(normal_backend)
     import jax.numpy as jnp
 
     from cinemri_tpu.data.masks import RandomMask
@@ -107,7 +112,8 @@ def main(full: bool = False, packed: bool = False, only: str = "", bf16: bool = 
             best = (time.perf_counter() - t0) / n
             print(json.dumps({
                 "model": name + ("-packed" if kwargs.get("packed") else "")
-                + ("-bf16" if kwargs.get("bf16") else ""),
+                + ("-bf16" if kwargs.get("bf16") else "")
+                + ("-npallas" if normal_backend == "pallas" else ""),
                 "volume_ms": round(best * 1000, 2),
                 "frames_per_sec": round(T / best, 1),
                 "compile_s": round(compile_s, 1),
@@ -126,5 +132,8 @@ if __name__ == "__main__":
                     help="bf16 denoiser activations (all families; xpdnet's is "
                          "outside the certified-quality envelope, BASELINE.md)")
     ap.add_argument("--only", default="", help="comma-separated model-dyn list")
+    ap.add_argument("--normal_backend", default="", choices=("", "xla", "pallas"),
+                    help="normal-operator apply backend (ops/kernels/"
+                         "normal_pallas.py fused kernel vs the XLA einsums)")
     a = ap.parse_args()
-    main(a.full, a.packed, a.only, a.bf16)
+    main(a.full, a.packed, a.only, a.bf16, a.normal_backend)

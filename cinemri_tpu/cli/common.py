@@ -299,10 +299,34 @@ def _apply_torch_ckpt(trainer, family: str, args, first) -> None:
     print(f"Initialized weights from reference checkpoint {args.from_torch_ckpt}")
 
 
+def _pin_platform_from_env() -> None:
+    """Re-assert ``JAX_PLATFORMS`` via jax.config.
+
+    Some managed environments register an experimental TPU plugin from
+    ``sitecustomize`` and overwrite ``JAX_PLATFORMS`` at interpreter start,
+    so a user's ``JAX_PLATFORMS=cpu`` export is silently lost — and when the
+    remote-TPU tunnel is unreachable, backend discovery then hangs the CLI.
+    ``jax.config.update`` wins over the clobbered env var; applying it
+    before the first backend touch makes the documented
+    ``JAX_PLATFORMS=cpu`` flow work unconditionally.
+    """
+    import os
+
+    want = os.environ.get("CINEMRI_PLATFORM") or os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass  # already initialized (e.g. called from tests)
+
+
 def train_test_main(family: str, argv=None) -> Dict:
     """The reference's train_test_main (train_test_varnet.py:22-136)."""
     from cinemri_tpu.utils.compile_cache import enable_compile_cache
 
+    _pin_platform_from_env()
     enable_compile_cache()
     args = build_parser(family).parse_args(argv)
     if args.load_model is None:

@@ -10,6 +10,7 @@ from cinemri_tpu.physics.operators import (
     masked_normal_kernel,
     normal_plus_lambda_kernel,
     coil_weight,
+    set_normal_backend,
     soft_dc_image_kernel,
     soft_sense_expand,
     soft_sense_reduce,
@@ -33,6 +34,7 @@ __all__ = [
     "masked_normal_kernel",
     "normal_plus_lambda_kernel",
     "coil_weight",
+    "set_normal_backend",
     "soft_dc_image_kernel",
     "soft_sense_expand",
     "soft_sense_reduce",

@@ -33,9 +33,61 @@ __all__ = [
     "normal_plus_lambda_kernel",
     "coil_weight",
     "soft_dc_image_kernel",
+    "set_normal_backend",
 ]
 
 COIL_AXIS = 2
+
+# Backend for the kernelized normal-operator apply: "xla" (einsum chain,
+# coil-expanded intermediates in HBM) or "pallas" (fused VMEM-resident
+# kernel, ops/kernels/normal_pallas.py — one HBM round trip per apply).
+_NORMAL_BACKEND = "xla"
+
+
+def set_normal_backend(backend: str) -> None:
+    """Select the normal-operator apply backend ('xla' or 'pallas').
+
+    Callers must re-jit (new trace) for the change to take effect. Also
+    settable via the ``CINEMRI_NORMAL_BACKEND`` environment variable (read
+    at import). The pallas backend declares the kernel matrix (== the
+    undersampling mask) non-differentiable — identical semantics for every
+    model path, since masks are data, never learned.
+    """
+    global _NORMAL_BACKEND
+    if backend not in ("xla", "pallas"):
+        raise ValueError(f"unknown normal backend {backend!r}")
+    _NORMAL_BACKEND = backend
+
+
+import os as _os  # noqa: E402
+
+if _os.environ.get("CINEMRI_NORMAL_BACKEND"):
+    set_normal_backend(_os.environ["CINEMRI_NORMAL_BACKEND"])
+
+
+def _pallas_normal_eligible(x: Complex, kernel: Complex, sens: Complex) -> bool:
+    """Static gate for the fused pallas apply (shapes/dtype/VMEM/backend)."""
+    from cinemri_tpu.ops.kernels import normal_pallas as NP
+    from cinemri_tpu.ops.kernels.dft_pallas import pallas_available
+
+    if not (
+        x.ndim == 5
+        and x.shape[2] == 1
+        and sens.ndim == 5
+        and sens.shape[1] == 1
+        and kernel.ndim == 4
+        and kernel.shape[0] == x.shape[0]
+        and kernel.shape[1] in (1, x.shape[1])
+        and kernel.shape[2] == kernel.shape[3] == x.shape[3]
+        and x.dtype == jnp.float32
+        and sens.dtype == jnp.float32
+    ):
+        return False
+    b, t = x.shape[:2]
+    c, h, w = sens.shape[2], x.shape[3], x.shape[4]
+    if NP.vmem_estimate(b, t, c, h, w) > NP.NORMAL_VMEM_GUARD_BYTES:
+        return False
+    return NP._INTERPRET or pallas_available()
 
 
 def _c(x) -> Complex:
@@ -198,6 +250,23 @@ def normal_plus_lambda_kernel(x, kernel: Complex, sens_maps, lam) -> Complex:
 
     x = _c(x)
     sens = _c(sens_maps)
+
+    if _NORMAL_BACKEND == "pallas" and _pallas_normal_eligible(x, kernel, sens):
+        from jax import lax as _lax
+
+        from cinemri_tpu.ops.kernels.normal_pallas import normal_apply_pallas
+
+        outr, outi = normal_apply_pallas(
+            x.re[:, :, 0],
+            x.im[:, :, 0],
+            _lax.stop_gradient(kernel.re),
+            _lax.stop_gradient(kernel.im),
+            sens.re[:, 0],
+            sens.im[:, 0],
+            jnp.asarray(lam, jnp.float32),
+        )
+        return Complex(outr[:, :, None], outi[:, :, None])
+
     y = x * sens  # (b, t, c, h, w)
     b, t = y.shape[:2]
     h = y.shape[3]

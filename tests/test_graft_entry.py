@@ -42,7 +42,10 @@ class TestGraftEntry:
         root = Path(__file__).parent.parent
         code = (
             f"import sys; sys.path.insert(0, {str(root)!r}); "
-            "import jax; "
+            # config.update, not just the env var: the container's axon
+            # sitecustomize forces its platform over JAX_PLATFORMS, and
+            # during a tunnel outage axon backend discovery hangs forever
+            "import jax; jax.config.update('jax_platforms', 'cpu'); "
             "assert len(jax.devices()) == 1, jax.devices(); "
             "import importlib.util as u; "
             f"spec = u.spec_from_file_location('ge', {str(root / '__graft_entry__.py')!r}); "

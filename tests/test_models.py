@@ -540,3 +540,46 @@ class TestBf16Mode:
         g = jax.grad(lambda p: jnp.sum(half.apply(p, *args)))(params)
         for leaf in jax.tree.leaves(g):
             assert leaf.dtype == jnp.float32
+
+
+class TestNormalBackendPallas:
+    """set_normal_backend('pallas') end-to-end: fused normal apply inside
+    full models (CG and collapsed-DC paths), interpret mode on CPU."""
+
+    def _with_pallas(self, fn):
+        import cinemri_tpu.ops.kernels.normal_pallas as NP
+        import cinemri_tpu.physics.operators as O
+
+        old = NP._INTERPRET
+        try:
+            NP._INTERPRET = True
+            O.set_normal_backend("pallas")
+            return fn()
+        finally:
+            NP._INTERPRET = old
+            O.set_normal_backend("xla")
+
+    @pytest.mark.parametrize("family,dyn", [("cinenet", "XF"), ("varnet", "XF")])
+    def test_forward_and_grads_match_xla_backend(self, family, dyn, batch):
+        kwargs = dict(SMALL[family], num_cascades=1)
+        model = build_model(family, dyn, kernel_dc=True, **kwargs)
+        k, m, sens = batch
+        args = (k, m, sens) if family == "cinenet" else (k, m)
+        params = model.init(jax.random.PRNGKey(0), *args)
+        target = k.abs().mean(axis=2)
+
+        def fwd():
+            return np.asarray(model.apply(params, *args))
+
+        def grads():
+            def loss_fn(p):
+                return ssim_loss(model.apply(p, *args), target)
+
+            g = jax.grad(loss_fn)(params)
+            return [np.asarray(x) for x in jax.tree.leaves(g)]
+
+        np.testing.assert_allclose(
+            self._with_pallas(fwd), fwd(), rtol=1e-4, atol=1e-5
+        )
+        for gp, gx in zip(self._with_pallas(grads), grads()):
+            np.testing.assert_allclose(gp, gx, rtol=2e-3, atol=2e-4)
