@@ -39,7 +39,47 @@ REFERENCE_CPU_FRAMES_PER_SEC = 0.464
 T, C, H, W = 15, 10, 200, 200
 
 
+def _wait_for_backend() -> None:
+    """Bound backend discovery instead of hanging on a dead TPU tunnel.
+
+    The chip rides a remote tunnel with observed multi-hour outages during
+    which ``jax.devices()`` blocks forever. Probe it in timeout-bounded
+    subprocesses, retrying up to CINEMRI_BENCH_PROBE_BUDGET_S (default
+    900 s) so a short outage just delays the bench; on exhaustion, fail
+    fast with a diagnosable error instead of wedging the caller.
+    """
+    import os
+    import subprocess
+
+    budget = float(os.environ.get("CINEMRI_BENCH_PROBE_BUDGET_S", "900"))
+    deadline = time.monotonic() + budget
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+                capture_output=True,
+                text=True,
+                timeout=min(120.0, max(30.0, budget)),
+            )
+            if proc.returncode == 0 and int(proc.stdout.strip().splitlines()[-1]) > 0:
+                return
+        except Exception:
+            pass
+        if time.monotonic() >= deadline:
+            print(
+                f"bench.py: accelerator backend unreachable after {attempt} "
+                f"probe(s) over {budget:.0f}s (remote TPU tunnel outage?) — "
+                "aborting instead of hanging",
+                file=sys.stderr,
+            )
+            raise SystemExit(2)
+        time.sleep(60)
+
+
 def main():
+    _wait_for_backend()
     import jax
 
     from cinemri_tpu.utils.compile_cache import enable_compile_cache

@@ -20,12 +20,17 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def main(full: bool = False, packed: bool = False, bf16: bool = False, only: str = ""):
+def main(full: bool = False, packed: bool = False, bf16: bool = False,
+         only: str = "", normal_backend: str = ""):
     import jax
 
     from cinemri_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
+    if normal_backend:
+        from cinemri_tpu.physics.operators import set_normal_backend
+
+        set_normal_backend(normal_backend)
     import jax.numpy as jnp
     import optax
 
@@ -121,5 +126,6 @@ if __name__ == "__main__":
     ap.add_argument("--packed", action="store_true")
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--only", default="")
+    ap.add_argument("--normal_backend", default="", choices=("", "xla", "pallas"))
     a = ap.parse_args()
-    main(a.full, a.packed, a.bf16, a.only)
+    main(a.full, a.packed, a.bf16, a.only, a.normal_backend)
