@@ -36,7 +36,7 @@ def _mfu(jitted, args, seconds: float):
 
 
 def main(full: bool = False, packed: bool = False, only: str = "",
-         bf16: bool = False, normal_backend: str = ""):
+         bf16: bool = False, normal_backend: str = "", compress_coils: int = 0):
     import jax
 
     from cinemri_tpu.utils.compile_cache import enable_compile_cache
@@ -56,7 +56,14 @@ def main(full: bool = False, packed: bool = False, only: str = "",
     rng = np.random.default_rng(0)
     k = (rng.standard_normal((1, T, C, H, W)) + 1j * rng.standard_normal((1, T, C, H, W))).astype(np.complex64)
     mask_np = RandomMask([10], [4])(T, H, seed=0)[None]
-    km = from_complex(k * mask_np)
+    km_np = (k * mask_np)[0]
+    if compress_coils:
+        from cinemri_tpu.data.compress import apply_compression, compression_matrix
+
+        cmat = compression_matrix(km_np, compress_coils, mask_np[0])
+        km_np = apply_compression(km_np, cmat)
+        C = compress_coils
+    km = from_complex(km_np[None])
     mask = jnp.asarray(mask_np.astype(np.float32))
     sens_np = (rng.standard_normal((1, 1, C, H, W)) + 1j * rng.standard_normal((1, 1, C, H, W))).astype(np.complex64)
     sens_np /= np.sqrt((np.abs(sens_np) ** 2).sum(2, keepdims=True))
@@ -113,7 +120,8 @@ def main(full: bool = False, packed: bool = False, only: str = "",
             print(json.dumps({
                 "model": name + ("-packed" if kwargs.get("packed") else "")
                 + ("-bf16" if kwargs.get("bf16") else "")
-                + ("-npallas" if normal_backend == "pallas" else ""),
+                + ("-npallas" if normal_backend == "pallas" else "")
+                + (f"-cc{compress_coils}" if compress_coils else ""),
                 "volume_ms": round(best * 1000, 2),
                 "frames_per_sec": round(T / best, 1),
                 "compile_s": round(compile_s, 1),
@@ -135,5 +143,8 @@ if __name__ == "__main__":
     ap.add_argument("--normal_backend", default="", choices=("", "xla", "pallas"),
                     help="normal-operator apply backend (ops/kernels/"
                          "normal_pallas.py fused kernel vs the XLA einsums)")
+    ap.add_argument("--compress_coils", type=int, default=0,
+                    help="run the protocol volume through SVD coil "
+                         "compression to N virtual coils (data/compress.py)")
     a = ap.parse_args()
-    main(a.full, a.packed, a.only, a.bf16, a.normal_backend)
+    main(a.full, a.packed, a.only, a.bf16, a.normal_backend, a.compress_coils)

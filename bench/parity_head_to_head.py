@@ -256,7 +256,8 @@ def run_reference(family, train, test, train_masks, test_mask, epochs):
 
 
 def run_framework(family, params, train, test, train_masks, test_mask, epochs,
-                  bf16=False, packed=False, dft_precision=None):
+                  bf16=False, packed=False, dft_precision=None,
+                  compress_coils=0):
     import jax
     import jax.numpy as jnp
     import optax
@@ -281,7 +282,21 @@ def run_framework(family, params, train, test, train_masks, test_mask, epochs,
     opt_state = tx.init(params)
 
     def inputs(k, m, sens):
-        args = [from_complex(k * m), jnp.asarray(m)]
+        km = k * m
+        if compress_coils:
+            # SVD coil compression (data/compress.py): the framework runs on
+            # virtual coils while the reference keeps the physical ones —
+            # delta_ssim then measures the compression quality cost.
+            from cinemri_tpu.data.compress import (
+                apply_compression,
+                compression_matrix,
+            )
+
+            cmat = compression_matrix(km[0], compress_coils, m[0])
+            km = apply_compression(km[0], cmat)[None]
+            if sens is not None:
+                sens = np.einsum("cv,bschw->bsvhw", cmat.conj(), sens)
+        args = [from_complex(km), jnp.asarray(m)]
         if family == "cinenet":
             args.append(from_complex(sens))
         return tuple(args)
@@ -314,7 +329,7 @@ def run_framework(family, params, train, test, train_masks, test_mask, epochs,
 
 def main(epochs: int = 30, family: str = "varnet", bf16: bool = False,
          packed: bool = False, dft_precision: str | None = None,
-         seed_offset: int = 0):
+         seed_offset: int = 0, compress_coils: int = 0):
     global SEED_OFFSET
     SEED_OFFSET = seed_offset
     from cinemri_tpu.ops import metrics as M
@@ -332,6 +347,7 @@ def main(epochs: int = 30, family: str = "varnet", bf16: bool = False,
     out_jax, _, jax_losses = run_framework(
         family, init_params, train, test, train_masks, test_mask, epochs,
         bf16=bf16, packed=packed, dft_precision=dft_precision,
+        compress_coils=compress_coils,
     )
     jax_s = time.perf_counter() - t0
 
@@ -345,7 +361,8 @@ def main(epochs: int = 30, family: str = "varnet", bf16: bool = False,
             {
                 "family": family + ("-packed" if packed else "") + ("-bf16" if bf16 else "")
                 + (f"-dft_{dft_precision}" if dft_precision else "")
-                + (f"-seeds+{seed_offset}" if seed_offset else ""),
+                + (f"-seeds+{seed_offset}" if seed_offset else "")
+                + (f"-cc{compress_coils}" if compress_coils else ""),
                 "epochs": epochs,
                 "ssim_reference": round(float(ssim_ref), 5),
                 "ssim_framework": round(float(ssim_jax), 5),
@@ -377,6 +394,10 @@ if __name__ == "__main__":
     ap.add_argument("--seed_offset", type=int, default=0,
                     help="shift all data/mask/init seeds (across-seed "
                          "variance of the delta)")
+    ap.add_argument("--compress_coils", type=int, default=0,
+                    help="framework side runs on N SVD virtual coils "
+                         "(reference keeps physical coils); delta_ssim "
+                         "then measures the compression quality cost")
     ap.add_argument("--platform", default=None,
                     help="pin the jax platform (e.g. 'cpu' when the TPU "
                          "tunnel is down; env vars alone are too late — "
@@ -386,4 +407,5 @@ if __name__ == "__main__":
         import jax
 
         jax.config.update("jax_platforms", a.platform)
-    main(a.epochs, a.family, a.bf16, a.packed, a.dft_precision, a.seed_offset)
+    main(a.epochs, a.family, a.bf16, a.packed, a.dft_precision, a.seed_offset,
+         a.compress_coils)

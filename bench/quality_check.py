@@ -25,7 +25,7 @@ from cinemri_tpu.utils.compile_cache import enable_compile_cache
 enable_compile_cache()
 
 
-def main(epochs: int = 30):
+def main(epochs: int = 30, compress_coils: int = 0):
     from cinemri_tpu.data import RandomMask, SliceDataset, VarNetDataTransform
     from cinemri_tpu.data.synthetic import make_synthetic_dataset
     from cinemri_tpu.models import build_model
@@ -43,7 +43,8 @@ def main(epochs: int = 30):
     def loader(split, shuffle):
         ds = SliceDataset(
             root / split,
-            transform=VarNetDataTransform(RandomMask([8], [4]), use_seed=(split != "train")),
+            transform=VarNetDataTransform(RandomMask([8], [4]), use_seed=(split != "train"),
+                                          compress_coils=compress_coils),
             maps_cache_dir=root / "maps",
         )
         return Loader(ds, batch_size=1, shuffle=shuffle)
@@ -88,4 +89,7 @@ def main(epochs: int = 30):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=30)
-    main(ap.parse_args().epochs)
+    ap.add_argument("--compress_coils", type=int, default=0,
+                    help="SVD coil compression to N virtual coils")
+    a = ap.parse_args()
+    main(a.epochs, a.compress_coils)

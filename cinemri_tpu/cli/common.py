@@ -145,6 +145,13 @@ def build_parser(family: str) -> argparse.ArgumentParser:
         help="CineNet only: compute per-sample ESPIRiT maps once per volume "
              "instead of per epoch (reference recomputes each epoch)",
     )
+    p.add_argument(
+        "--compress_coils", default=0, type=int,
+        help="SVD coil compression to this many virtual coils (0 = off, the "
+             "reference behavior). Every coil-linear cost (sens U-Nets, CG "
+             "coil streams, DC) scales with the coil count; quality cost is "
+             "the discarded singular values (data/compress.py)",
+    )
     p.add_argument("--num_workers", default=4, type=int,
                    help="Decode-thread pool size of the host input pipeline "
                         "(the reference's DataLoader worker count, "
@@ -264,7 +271,11 @@ def config_fingerprint(family: str, args) -> str:
     """
     import hashlib
 
-    keys = sorted(MODEL_DEFAULTS[family]) + ["dynamic_type", "weight_sharing"]
+    # compress_coils changes the semantics of trained weights (virtual vs
+    # physical coil inputs), not the tree shape — still scope by it
+    keys = sorted(MODEL_DEFAULTS[family]) + [
+        "dynamic_type", "weight_sharing", "compress_coils",
+    ]
     src = [(k, getattr(args, k)) for k in keys]
     return hashlib.sha1(repr(src).encode()).hexdigest()[:8]
 
@@ -396,7 +407,8 @@ def train_test_main(family: str, argv=None) -> Dict:
     mask_func = create_mask_for_mask_type(
         args.mask_type, args.center_fractions, args.accelerations
     )
-    transform_kwargs = {"mask_func": mask_func, "use_seed": bool(args.use_seed)}
+    transform_kwargs = {"mask_func": mask_func, "use_seed": bool(args.use_seed),
+                        "compress_coils": args.compress_coils}
     if family == "cinenet":
         transform_kwargs["cache_maps"] = bool(args.cache_sens_maps)
         transform_kwargs["maps_cache_dir"] = args.maps_cache_dir

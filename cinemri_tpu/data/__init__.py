@@ -18,6 +18,7 @@ from cinemri_tpu.data.transforms import (
     XPDNetDataTransform,
 )
 from cinemri_tpu.data.espirit import espirit_maps
+from cinemri_tpu.data.compress import apply_compression, compression_matrix
 from cinemri_tpu.data.dataset import (
     PreprocessConfig,
     SliceDataset,

@@ -97,9 +97,18 @@ def _fname_seed(fname: str):
 
 
 class _BaseTransform:
-    def __init__(self, mask_func: Optional[MaskFunc] = None, use_seed: bool = True):
+    """``compress_coils > 0`` additionally compresses the masked k-space to
+    that many virtual coils (data/compress.py, SVD of the always-sampled
+    calibration band) before the sample leaves the transform — every
+    downstream consumer (sensitivity estimation, DC, model) then runs on
+    the smaller coil dimension. 0 (default) keeps the physical coils —
+    the reference's (only) behavior."""
+
+    def __init__(self, mask_func: Optional[MaskFunc] = None, use_seed: bool = True,
+                 compress_coils: int = 0):
         self.mask_func = mask_func
         self.use_seed = use_seed
+        self.compress_coils = int(compress_coils)
 
     def _mask(self, kspace: np.ndarray, mask, fname: str, mask_seed=None):
         if self.mask_func is not None:
@@ -126,6 +135,14 @@ class _BaseTransform:
         masked_kspace, mask = self._mask(
             np.asarray(kspace, np.complex64), mask, fname, mask_seed=mask_seed
         )
+        if 0 < self.compress_coils < masked_kspace.shape[1]:
+            from cinemri_tpu.data.compress import (
+                apply_compression,
+                compression_matrix,
+            )
+
+            cmat = compression_matrix(masked_kspace, self.compress_coils, mask)
+            masked_kspace = apply_compression(masked_kspace, cmat)
         return {
             "masked_kspace": masked_kspace,  # (t, c, h, w) complex64
             "mask": mask,  # (t|1, 1, h, 1) float32
@@ -173,8 +190,9 @@ class CineNetDataTransform(_BaseTransform):
         calib_size: int = 15,
         cache_maps: bool = False,
         maps_cache_dir=None,
+        compress_coils: int = 0,
     ):
-        super().__init__(mask_func, use_seed)
+        super().__init__(mask_func, use_seed, compress_coils)
         self.calib_size = calib_size
         self.cache_maps = cache_maps
         from pathlib import Path
@@ -187,11 +205,12 @@ class CineNetDataTransform(_BaseTransform):
         one (mask type, accelerations, center config) must not be reused by
         another."""
         mf = self.mask_func
+        vtag = f"_v{self.compress_coils}" if self.compress_coils else ""
         if mf is None:
-            return "nomask"
+            return "nomask" + vtag
         return (
             f"{type(mf).__name__}_c{'-'.join(str(c) for c in mf.center_fractions)}"
-            f"_a{'-'.join(str(a) for a in mf.accelerations)}"
+            f"_a{'-'.join(str(a) for a in mf.accelerations)}" + vtag
         )
 
     def _disk_path(self, fname: str, slice_num: int):

@@ -352,3 +352,24 @@ class TestCineNetExportMode:
         assert path.exists()
         fn = load_exported(path)  # callable with 5 float-array args
         assert callable(fn)
+
+
+class TestCoilCompressionCLI:
+    def test_train_and_test_with_virtual_coils(self, workdir):
+        """--compress_coils 2 on 3 physical coils: the full train/test flow
+        runs on virtual coils and produces sane metrics."""
+        common = TINY_ARGS + [
+            "--path_config", str(workdir / "dirs_path.yaml"),
+            "--maps_cache_dir", str(workdir / "maps"),
+            "--chans", "4",
+            "--sens_chans", "4", "--sens_pools", "2", "--pools", "2",
+            "--dynamic_type", "XF",
+            "--compress_coils", "2",
+        ]
+        out = train_test_main("varnet", common + ["--mode", "train", "--save_checkpoint", "1"])
+        assert np.isfinite(out["history"][0]["train_loss"])
+        out = train_test_main(
+            "varnet", common + ["--mode", "test", "--load_model", "1", "--inference", "0"]
+        )
+        m = out["test_metrics"]
+        assert 0 < m["ssim"] <= 1

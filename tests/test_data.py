@@ -314,3 +314,86 @@ class TestCineNetMapCaching:
         )
         tr3(vol["kspace"], None, vol["image"], {}, "v.h5", 0)
         assert calls["n"] == 2
+
+
+class TestCoilCompression:
+    """SVD coil compression (data/compress.py) — beyond-reference speed mode."""
+
+    def _mask(self, t, h, center=6):
+        m = np.zeros((t, 1, h, 1), np.float32)
+        m[:, :, h // 2 - center // 2 : h // 2 + center // 2] = 1
+        # add per-frame random extra lines outside the band
+        rng = np.random.default_rng(3)
+        for ti in range(t):
+            m[ti, :, rng.choice(h, 4, replace=False)] = 1
+        return m
+
+    def test_matrix_is_orthonormal_and_deterministic(self):
+        from cinemri_tpu.data.compress import compression_matrix
+
+        vol = synthetic_volume(num_frames=4, num_coils=6, h=32, w=32)
+        m = self._mask(4, 32)
+        c1 = compression_matrix(vol["kspace"] * m, 4, m)
+        c2 = compression_matrix(vol["kspace"] * m, 4, m)
+        np.testing.assert_allclose(
+            c1.conj().T @ c1, np.eye(4, dtype=np.complex64), atol=1e-6
+        )
+        np.testing.assert_array_equal(c1, c2)
+
+    def test_energy_capture_and_unitary_completeness(self):
+        """v = c is a unitary rotation (lossless); at v < c the residual is
+        bounded by the discarded singular energy and shrinks as v grows."""
+        from cinemri_tpu.data.compress import apply_compression, compression_matrix
+
+        vol = synthetic_volume(num_frames=4, num_coils=8, h=32, w=32)
+        k = vol["kspace"]
+
+        def resid(v):
+            cmat = compression_matrix(k, v)
+            kv = apply_compression(k, cmat)
+            k_back = np.einsum("cv,tvhw->tchw", cmat, kv)
+            return np.linalg.norm(k - k_back) / np.linalg.norm(k)
+
+        r8, r6, r4 = resid(8), resid(6), resid(4)
+        assert r8 < 1e-5, r8  # square C: complete unitary basis
+        assert r6 < 0.05 and r4 < 0.12, (r6, r4)
+        assert r8 < r6 < r4
+        # the RSS image from 6 virtual coils matches the physical-coil RSS
+        cmat = compression_matrix(k, 6)
+        kv = apply_compression(k, cmat)
+        img = np.fft.ifft2(np.fft.ifftshift(np.fft.ifftshift(k, axes=-2), axes=-1), norm="ortho")
+        img_v = np.fft.ifft2(np.fft.ifftshift(np.fft.ifftshift(kv, axes=-2), axes=-1), norm="ortho")
+        rss = np.sqrt((np.abs(img) ** 2).sum(1))
+        rss_v = np.sqrt((np.abs(img_v) ** 2).sum(1))
+        np.testing.assert_allclose(rss_v, rss, rtol=0.05, atol=0.03 * rss.max())
+
+    def test_transform_emits_virtual_coils(self):
+        vol = synthetic_volume(num_frames=4, num_coils=6, h=32, w=32)
+        tr = VarNetDataTransform(
+            mask_func=RandomMask([6], [2]), use_seed=True, compress_coils=3
+        )
+        s = tr(vol["kspace"], None, vol["image"], {}, "vol_cc.h5", 0)
+        assert s["masked_kspace"].shape == (4, 3, 32, 32)
+        # unsampled lines stay zero after the coil mixing
+        np.testing.assert_array_equal(
+            s["masked_kspace"] * (1 - s["mask"]), np.zeros_like(s["masked_kspace"])
+        )
+
+    def test_cinenet_maps_follow_virtual_coils(self):
+        vol = synthetic_volume(num_frames=4, num_coils=6, h=48, w=48)
+        tr = CineNetDataTransform(
+            mask_func=RandomMask([8], [2]), use_seed=True, compress_coils=4
+        )
+        s = tr(vol["kspace"], None, vol["image"], {}, "vol_cc2.h5", 0)
+        assert s["masked_kspace"].shape == (4, 4, 48, 48)
+        assert s["sens_maps"].shape == (1, 4, 48, 48)
+
+    def test_compress_coils_zero_is_identity_path(self):
+        vol = synthetic_volume(num_frames=3, num_coils=4, h=32, w=32)
+        t0 = VarNetDataTransform(mask_func=RandomMask([6], [2]), use_seed=True)
+        t1 = VarNetDataTransform(
+            mask_func=RandomMask([6], [2]), use_seed=True, compress_coils=0
+        )
+        s0 = t0(vol["kspace"], None, vol["image"], {}, "vol_cc3.h5", 0)
+        s1 = t1(vol["kspace"], None, vol["image"], {}, "vol_cc3.h5", 0)
+        np.testing.assert_array_equal(s0["masked_kspace"], s1["masked_kspace"])
