@@ -108,13 +108,16 @@ class TestNormalApplyKernel:
         )
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
-    def test_gradients_match_xla(self, rng):
-        """x-, sens- and lam-cotangents agree with autodiff of the XLA path."""
+    @pytest.mark.parametrize("b", [1, 2])
+    def test_gradients_match_xla(self, rng, b):
+        """x-, sens- and lam-cotangents agree with autodiff of the XLA path
+        (b=2 exercises the sens-cotangent's cross-frame accumulation
+        restarting at each batch row)."""
         import jax
         import jax.numpy as jnp
         from cinemri_tpu.physics.operators import normal_plus_lambda_kernel
 
-        x, s, kern = self._setup(rng, b=1, t=2, c=3, h=16, w=12)
+        x, s, kern = self._setup(rng, b=b, t=2, c=3, h=16, w=12)
         gr = jnp.asarray(np.random.default_rng(7).standard_normal(x.shape), jnp.float32)
         gi = jnp.asarray(np.random.default_rng(8).standard_normal(x.shape), jnp.float32)
 
