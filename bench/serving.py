@@ -21,7 +21,12 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def main(model_name: str = "varnet-XF", packed: bool = True):
+def main(model_name: str = "varnet-XF", packed: bool = True,
+         normal_backend: str = ""):
+    if normal_backend:
+        from cinemri_tpu.physics.operators import set_normal_backend
+
+        set_normal_backend(normal_backend)
     import jax
 
     from cinemri_tpu.utils.compile_cache import enable_compile_cache
@@ -103,5 +108,6 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="varnet-XF")
     ap.add_argument("--no-packed", action="store_true")
+    ap.add_argument("--normal_backend", default="", choices=("", "xla", "pallas"))
     a = ap.parse_args()
-    main(a.model, packed=not a.no_packed)
+    main(a.model, packed=not a.no_packed, normal_backend=a.normal_backend)
