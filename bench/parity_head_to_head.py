@@ -257,7 +257,7 @@ def run_reference(family, train, test, train_masks, test_mask, epochs):
 
 def run_framework(family, params, train, test, train_masks, test_mask, epochs,
                   bf16=False, packed=False, dft_precision=None,
-                  compress_coils=0):
+                  compress_coils=0, normal_backend=""):
     import jax
     import jax.numpy as jnp
     import optax
@@ -271,6 +271,10 @@ def run_framework(family, params, train, test, train_masks, test_mask, epochs,
         from cinemri_tpu.ops.fft import set_dft_precision
 
         set_dft_precision(dft_precision)
+    if normal_backend:
+        from cinemri_tpu.physics.operators import set_normal_backend
+
+        set_normal_backend(normal_backend)
     extra = {}
     if family != "xpdnet":
         extra = {"bf16": bf16, "packed": packed}
@@ -329,7 +333,8 @@ def run_framework(family, params, train, test, train_masks, test_mask, epochs,
 
 def main(epochs: int = 30, family: str = "varnet", bf16: bool = False,
          packed: bool = False, dft_precision: str | None = None,
-         seed_offset: int = 0, compress_coils: int = 0):
+         seed_offset: int = 0, compress_coils: int = 0,
+         normal_backend: str = ""):
     global SEED_OFFSET
     SEED_OFFSET = seed_offset
     from cinemri_tpu.ops import metrics as M
@@ -347,7 +352,7 @@ def main(epochs: int = 30, family: str = "varnet", bf16: bool = False,
     out_jax, _, jax_losses = run_framework(
         family, init_params, train, test, train_masks, test_mask, epochs,
         bf16=bf16, packed=packed, dft_precision=dft_precision,
-        compress_coils=compress_coils,
+        compress_coils=compress_coils, normal_backend=normal_backend,
     )
     jax_s = time.perf_counter() - t0
 
@@ -362,7 +367,8 @@ def main(epochs: int = 30, family: str = "varnet", bf16: bool = False,
                 "family": family + ("-packed" if packed else "") + ("-bf16" if bf16 else "")
                 + (f"-dft_{dft_precision}" if dft_precision else "")
                 + (f"-seeds+{seed_offset}" if seed_offset else "")
-                + (f"-cc{compress_coils}" if compress_coils else ""),
+                + (f"-cc{compress_coils}" if compress_coils else "")
+                + (f"-n{normal_backend}" if normal_backend else ""),
                 "epochs": epochs,
                 "ssim_reference": round(float(ssim_ref), 5),
                 "ssim_framework": round(float(ssim_jax), 5),
@@ -394,6 +400,8 @@ if __name__ == "__main__":
     ap.add_argument("--seed_offset", type=int, default=0,
                     help="shift all data/mask/init seeds (across-seed "
                          "variance of the delta)")
+    ap.add_argument("--normal_backend", default="", choices=("", "xla", "pallas"),
+                    help="normal-operator apply backend for the framework side")
     ap.add_argument("--compress_coils", type=int, default=0,
                     help="framework side runs on N SVD virtual coils "
                          "(reference keeps physical coils); delta_ssim "
@@ -408,4 +416,4 @@ if __name__ == "__main__":
 
         jax.config.update("jax_platforms", a.platform)
     main(a.epochs, a.family, a.bf16, a.packed, a.dft_precision, a.seed_offset,
-         a.compress_coils)
+         a.compress_coils, a.normal_backend)
