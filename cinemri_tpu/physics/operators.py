@@ -39,13 +39,14 @@ __all__ = [
 COIL_AXIS = 2
 
 # Backend for the kernelized normal-operator apply: "xla" (einsum chain,
-# coil-expanded intermediates in HBM) or "pallas" (fused VMEM-resident
-# kernel, ops/kernels/normal_pallas.py — one HBM round trip per apply).
+# coil-expanded intermediates in HBM), "pallas" (fused VMEM-resident
+# kernel, ops/kernels/normal_pallas.py — one HBM round trip per apply),
+# or "auto" (pallas on TPU backends where it compiles, xla elsewhere).
 _NORMAL_BACKEND = "xla"
 
 
 def set_normal_backend(backend: str) -> None:
-    """Select the normal-operator apply backend ('xla' or 'pallas').
+    """Select the normal-operator apply backend ('xla', 'pallas', 'auto').
 
     Callers must re-jit (new trace) for the change to take effect. Also
     settable via the ``CINEMRI_NORMAL_BACKEND`` environment variable (read
@@ -54,9 +55,23 @@ def set_normal_backend(backend: str) -> None:
     model path, since masks are data, never learned.
     """
     global _NORMAL_BACKEND
-    if backend not in ("xla", "pallas"):
+    if backend not in ("xla", "pallas", "auto"):
         raise ValueError(f"unknown normal backend {backend!r}")
     _NORMAL_BACKEND = backend
+
+
+def _resolve_normal_backend() -> str:
+    """'auto' -> 'pallas' on a TPU-class default device, else 'xla'."""
+    if _NORMAL_BACKEND != "auto":
+        return _NORMAL_BACKEND
+    import jax
+
+    try:
+        dev = jax.devices()[0]
+        is_tpu = dev.platform in ("tpu", "axon") or "tpu" in dev.device_kind.lower()
+    except Exception:
+        is_tpu = False
+    return "pallas" if is_tpu else "xla"
 
 
 import os as _os  # noqa: E402
@@ -251,7 +266,7 @@ def normal_plus_lambda_kernel(x, kernel: Complex, sens_maps, lam) -> Complex:
     x = _c(x)
     sens = _c(sens_maps)
 
-    if _NORMAL_BACKEND == "pallas" and _pallas_normal_eligible(x, kernel, sens):
+    if _resolve_normal_backend() == "pallas" and _pallas_normal_eligible(x, kernel, sens):
         from jax import lax as _lax
 
         from cinemri_tpu.ops.kernels.normal_pallas import normal_apply_pallas

@@ -214,3 +214,21 @@ class TestSoftDCImageKernel:
             np.testing.assert_allclose(
                 to_numpy(fast), to_numpy(direct), rtol=1e-4, atol=1e-4
             )
+
+
+class TestNormalBackendSelection:
+    def test_auto_resolves_xla_on_cpu(self):
+        import cinemri_tpu.physics.operators as O
+
+        try:
+            O.set_normal_backend("auto")
+            assert O._resolve_normal_backend() == "xla"
+        finally:
+            O.set_normal_backend("xla")
+
+    def test_rejects_unknown_backend(self):
+        import cinemri_tpu.physics.operators as O
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            O.set_normal_backend("cuda")
