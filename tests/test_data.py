@@ -397,3 +397,14 @@ class TestCoilCompression:
         s0 = t0(vol["kspace"], None, vol["image"], {}, "vol_cc3.h5", 0)
         s1 = t1(vol["kspace"], None, vol["image"], {}, "vol_cc3.h5", 0)
         np.testing.assert_array_equal(s0["masked_kspace"], s1["masked_kspace"])
+
+    def test_suggest_num_virtual(self):
+        from cinemri_tpu.data.compress import suggest_num_virtual
+
+        vol = synthetic_volume(num_frames=4, num_coils=8, h=32, w=32)
+        v999 = suggest_num_virtual(vol["kspace"], energy_threshold=0.999)
+        v9999 = suggest_num_virtual(vol["kspace"], energy_threshold=0.9999)
+        vall = suggest_num_virtual(vol["kspace"], energy_threshold=1.0)
+        assert 1 <= v999 <= v9999 <= vall <= 8
+        # phantom spectrum measured: 0.999 needs ~5-6 of 8 coils
+        assert v999 < 8
