@@ -25,7 +25,8 @@ from cinemri_tpu.utils.compile_cache import enable_compile_cache
 enable_compile_cache()
 
 
-def main(epochs: int = 30, compress_coils: int = 0):
+def main(epochs: int = 30, compress_coils: int = 0,
+         num_coils: int = 6, coil_modes: int = 0):
     from cinemri_tpu.data import RandomMask, SliceDataset, VarNetDataTransform
     from cinemri_tpu.data.synthetic import make_synthetic_dataset
     from cinemri_tpu.models import build_model
@@ -37,7 +38,8 @@ def main(epochs: int = 30, compress_coils: int = 0):
     root = Path(tempfile.mkdtemp(prefix="quality_"))
     make_synthetic_dataset(
         root, splits=("train", "valid", "test"), volumes_per_split=4,
-        num_frames=8, num_coils=6, h=64, w=64, noise=2e-3,
+        num_frames=8, num_coils=num_coils, h=64, w=64, noise=2e-3,
+        coil_modes=coil_modes,
     )
 
     def loader(split, shuffle):
@@ -75,6 +77,9 @@ def main(epochs: int = 30, compress_coils: int = 0):
 
     print(json.dumps({
         "epochs": epochs,
+        "num_coils": num_coils,
+        "coil_modes": coil_modes,
+        "compress_coils": compress_coils,
         "train_minutes": round(train_s / 60, 1),
         "first_epoch_loss": round(history[0]["train_loss"], 4),
         "last_epoch_loss": round(history[-1]["train_loss"], 4),
@@ -91,5 +96,9 @@ if __name__ == "__main__":
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--compress_coils", type=int, default=0,
                     help="SVD coil compression to N virtual coils")
+    ap.add_argument("--num_coils", type=int, default=6)
+    ap.add_argument("--coil_modes", type=int, default=0,
+                    help="redundant receive array spanning N smooth modes "
+                         "(the coil-compression regime)")
     a = ap.parse_args()
-    main(a.epochs, a.compress_coils)
+    main(a.epochs, a.compress_coils, a.num_coils, a.coil_modes)

@@ -19,6 +19,7 @@ import numpy as np
 
 __all__ = [
     "coil_sensitivities",
+    "redundant_coil_sensitivities",
     "cine_phantom",
     "synthetic_volume",
     "write_hdf5_volume",
@@ -49,6 +50,33 @@ def coil_sensitivities(num_coils: int, h: int, w: int, rng=None) -> np.ndarray:
     return (maps / np.maximum(rss, 1e-8)).astype(np.complex64)
 
 
+def redundant_coil_sensitivities(
+    num_coils: int, h: int, w: int, num_modes: int, rng=None, noise: float = 0.0
+) -> np.ndarray:
+    """Coil maps that are complex mixtures of ``num_modes`` smooth fields.
+
+    Models the redundancy of real receive arrays (overlapping elements
+    sample the same few smooth Biot-Savart modes), giving a coil matrix of
+    effective rank ~num_modes — the regime SVD coil compression
+    (data/compress.py) exists for. ``noise`` adds a small independent
+    per-coil component (rank restored, energy still concentrated).
+    """
+    rng = np.random.default_rng(0) if rng is None else rng
+    base = coil_sensitivities(num_modes, h, w, rng)  # (m, h, w), smooth
+    mix = (
+        rng.standard_normal((num_coils, num_modes))
+        + 1j * rng.standard_normal((num_coils, num_modes))
+    ).astype(np.complex64) / np.sqrt(num_modes)
+    maps = np.einsum("cm,mhw->chw", mix, base)
+    if noise > 0:
+        extra = coil_sensitivities(num_coils, h, w, rng)
+        maps = maps + noise * extra * np.exp(
+            1j * rng.uniform(0, 2 * np.pi, (num_coils, 1, 1))
+        ).astype(np.complex64)
+    rss = np.sqrt((np.abs(maps) ** 2).sum(0, keepdims=True))
+    return (maps / np.maximum(rss, 1e-8)).astype(np.complex64)
+
+
 def cine_phantom(num_frames: int, h: int, w: int) -> np.ndarray:
     """A beating annulus + static anatomy, (t, h, w) float32 in [0, 1]."""
     yy, xx = np.meshgrid(np.linspace(-1, 1, h), np.linspace(-1, 1, w), indexing="ij")
@@ -73,6 +101,7 @@ def synthetic_volume(
     w: int = 64,
     noise: float = 0.0,
     seed: int = 0,
+    coil_modes: int = 0,
 ) -> Dict[str, np.ndarray]:
     """Fully-sampled multi-coil cine k-space from the phantom.
 
@@ -81,7 +110,14 @@ def synthetic_volume(
     """
     rng = np.random.default_rng(seed)
     image = cine_phantom(num_frames, h, w)
-    sens = coil_sensitivities(num_coils, h, w, rng)
+    if coil_modes:
+        # redundant receive array (rank ~coil_modes): the SVD coil-
+        # compression regime — see redundant_coil_sensitivities
+        sens = redundant_coil_sensitivities(
+            num_coils, h, w, num_modes=coil_modes, rng=rng, noise=0.02
+        )
+    else:
+        sens = coil_sensitivities(num_coils, h, w, rng)
     coil_images = image[:, None] * sens[None]  # (t, c, h, w)
     kspace = np.fft.fftshift(
         np.fft.fft2(np.fft.ifftshift(coil_images, axes=(-2, -1)), norm="ortho"),
@@ -102,6 +138,7 @@ def write_hdf5_volume(
     w: int = 64,
     noise: float = 0.0,
     seed: int = 0,
+    coil_modes: int = 0,
 ) -> None:
     """Write one volume in the reference's on-disk layout.
 
@@ -110,7 +147,7 @@ def write_hdf5_volume(
     """
     import h5py
 
-    vol = synthetic_volume(num_frames, num_coils, h, w, noise, seed)
+    vol = synthetic_volume(num_frames, num_coils, h, w, noise, seed, coil_modes)
     y = vol["kspace"].transpose(0, 2, 3, 1) / 1e6  # (t, h, w, c)
     with h5py.File(path, "w") as hf:
         hf.create_dataset("y", data=y.astype(np.complex64))
@@ -125,6 +162,7 @@ def make_synthetic_dataset(
     h: int = 64,
     w: int = 64,
     noise: float = 0.0,
+    coil_modes: int = 0,
 ) -> Path:
     """Create a tiny reference-layout dataset tree under ``root``."""
     root = Path(root)
@@ -141,6 +179,7 @@ def make_synthetic_dataset(
                 w=w,
                 noise=noise,
                 seed=seed,
+                coil_modes=coil_modes,
             )
             seed += 1
     return root

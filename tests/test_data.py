@@ -408,3 +408,33 @@ class TestCoilCompression:
         assert 1 <= v999 <= v9999 <= vall <= 8
         # phantom spectrum measured: 0.999 needs ~5-6 of 8 coils
         assert v999 < 8
+
+    def test_redundant_array_compresses_losslessly(self):
+        """The technique's domain: a 12-coil array spanning 5 smooth modes
+        compresses to v=6 with negligible residual and identical RSS."""
+        from cinemri_tpu.data.compress import (
+            apply_compression,
+            compression_matrix,
+            suggest_num_virtual,
+        )
+        from cinemri_tpu.data.synthetic import cine_phantom, redundant_coil_sensitivities
+
+        rng = np.random.default_rng(5)
+        sens = redundant_coil_sensitivities(12, 32, 32, num_modes=5, rng=rng)
+        img = cine_phantom(4, 32, 32)
+        coil = img[:, None] * sens[None]
+        k = np.fft.fftshift(
+            np.fft.fft2(np.fft.ifftshift(coil, axes=(-2, -1)), norm="ortho"),
+            axes=(-2, -1),
+        ).astype(np.complex64)
+        assert suggest_num_virtual(k, energy_threshold=0.9999) <= 6
+        cmat = compression_matrix(k, 6)
+        kv = apply_compression(k, cmat)
+        k_back = np.einsum("cv,tvhw->tchw", cmat, kv)
+        resid = np.linalg.norm(k - k_back) / np.linalg.norm(k)
+        assert resid < 1e-3, resid
+        img_f = np.fft.ifft2(np.fft.ifftshift(np.fft.ifftshift(k, axes=-2), axes=-1), norm="ortho")
+        img_v = np.fft.ifft2(np.fft.ifftshift(np.fft.ifftshift(kv, axes=-2), axes=-1), norm="ortho")
+        rss = np.sqrt((np.abs(img_f) ** 2).sum(1))
+        rss_v = np.sqrt((np.abs(img_v) ** 2).sum(1))
+        np.testing.assert_allclose(rss_v, rss, rtol=2e-3, atol=2e-3 * rss.max())
