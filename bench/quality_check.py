@@ -100,5 +100,13 @@ if __name__ == "__main__":
     ap.add_argument("--coil_modes", type=int, default=0,
                     help="redundant receive array spanning N smooth modes "
                          "(the coil-compression regime)")
+    ap.add_argument("--platform", default=None,
+                    help="pin the jax platform (e.g. 'cpu' during a TPU "
+                         "tunnel outage; quality numbers are "
+                         "platform-independent)")
     a = ap.parse_args()
+    if a.platform:
+        import jax
+
+        jax.config.update("jax_platforms", a.platform)
     main(a.epochs, a.compress_coils, a.num_coils, a.coil_modes)
