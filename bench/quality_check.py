@@ -26,7 +26,8 @@ enable_compile_cache()
 
 
 def main(epochs: int = 30, compress_coils: int = 0,
-         num_coils: int = 6, coil_modes: int = 0):
+         num_coils: int = 6, coil_modes: int = 0,
+         coil_mode_noise: float = 0.02):
     from cinemri_tpu.data import RandomMask, SliceDataset, VarNetDataTransform
     from cinemri_tpu.data.synthetic import make_synthetic_dataset
     from cinemri_tpu.models import build_model
@@ -39,7 +40,7 @@ def main(epochs: int = 30, compress_coils: int = 0,
     make_synthetic_dataset(
         root, splits=("train", "valid", "test"), volumes_per_split=4,
         num_frames=8, num_coils=num_coils, h=64, w=64, noise=2e-3,
-        coil_modes=coil_modes,
+        coil_modes=coil_modes, coil_mode_noise=coil_mode_noise,
     )
 
     def loader(split, shuffle):
@@ -79,6 +80,7 @@ def main(epochs: int = 30, compress_coils: int = 0,
         "epochs": epochs,
         "num_coils": num_coils,
         "coil_modes": coil_modes,
+        "coil_mode_noise": coil_mode_noise,
         "compress_coils": compress_coils,
         "train_minutes": round(train_s / 60, 1),
         "first_epoch_loss": round(history[0]["train_loss"], 4),
@@ -100,6 +102,9 @@ if __name__ == "__main__":
     ap.add_argument("--coil_modes", type=int, default=0,
                     help="redundant receive array spanning N smooth modes "
                          "(the coil-compression regime)")
+    ap.add_argument("--coil_mode_noise", type=float, default=0.02,
+                    help="independent per-coil map component on top of the "
+                         "coil_modes mixtures (0 = exactly rank-coil_modes)")
     ap.add_argument("--platform", default=None,
                     help="pin the jax platform (e.g. 'cpu' during a TPU "
                          "tunnel outage; quality numbers are "
@@ -109,4 +114,5 @@ if __name__ == "__main__":
         import jax
 
         jax.config.update("jax_platforms", a.platform)
-    main(a.epochs, a.compress_coils, a.num_coils, a.coil_modes)
+    main(a.epochs, a.compress_coils, a.num_coils, a.coil_modes,
+         a.coil_mode_noise)

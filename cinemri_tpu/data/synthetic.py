@@ -102,6 +102,7 @@ def synthetic_volume(
     noise: float = 0.0,
     seed: int = 0,
     coil_modes: int = 0,
+    coil_mode_noise: float = 0.02,
 ) -> Dict[str, np.ndarray]:
     """Fully-sampled multi-coil cine k-space from the phantom.
 
@@ -114,7 +115,8 @@ def synthetic_volume(
         # redundant receive array (rank ~coil_modes): the SVD coil-
         # compression regime — see redundant_coil_sensitivities
         sens = redundant_coil_sensitivities(
-            num_coils, h, w, num_modes=coil_modes, rng=rng, noise=0.02
+            num_coils, h, w, num_modes=coil_modes, rng=rng,
+            noise=coil_mode_noise,
         )
     else:
         sens = coil_sensitivities(num_coils, h, w, rng)
@@ -139,6 +141,7 @@ def write_hdf5_volume(
     noise: float = 0.0,
     seed: int = 0,
     coil_modes: int = 0,
+    coil_mode_noise: float = 0.02,
 ) -> None:
     """Write one volume in the reference's on-disk layout.
 
@@ -147,7 +150,8 @@ def write_hdf5_volume(
     """
     import h5py
 
-    vol = synthetic_volume(num_frames, num_coils, h, w, noise, seed, coil_modes)
+    vol = synthetic_volume(num_frames, num_coils, h, w, noise, seed,
+                           coil_modes, coil_mode_noise)
     y = vol["kspace"].transpose(0, 2, 3, 1) / 1e6  # (t, h, w, c)
     with h5py.File(path, "w") as hf:
         hf.create_dataset("y", data=y.astype(np.complex64))
@@ -163,6 +167,7 @@ def make_synthetic_dataset(
     w: int = 64,
     noise: float = 0.0,
     coil_modes: int = 0,
+    coil_mode_noise: float = 0.02,
 ) -> Path:
     """Create a tiny reference-layout dataset tree under ``root``."""
     root = Path(root)
@@ -180,6 +185,7 @@ def make_synthetic_dataset(
                 noise=noise,
                 seed=seed,
                 coil_modes=coil_modes,
+                coil_mode_noise=coil_mode_noise,
             )
             seed += 1
     return root
