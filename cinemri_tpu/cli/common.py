@@ -167,6 +167,17 @@ def build_parser(family: str) -> argparse.ArgumentParser:
              "--batch_size, so the global batch is batch_size x num_devices "
              "(DDP semantics).",
     )
+    p.add_argument(
+        "--coil_devices", default=1, type=int,
+        help="Devices on the coil (tensor-parallel) mesh axis: the "
+             "receive-coil dimension of k-space and sensitivity maps shards "
+             "across them and the coil-combine reductions all-reduce over "
+             "the mesh (physics.constrain_coil_axis). Composes with "
+             "--num_devices on a 2-D data x coil mesh (total devices = "
+             "product); the dataset's coil count must be divisible by it. "
+             "Forces the xla normal backend (Pallas kernels are opaque to "
+             "the SPMD partitioner).",
+    )
     # multi-host (the reference's ddp multi-process backend,
     # train_test_varnet.py:288-290): launch one process per host with the
     # same command plus --process_id; jax.distributed.initialize links them
@@ -251,6 +262,8 @@ def _build_model_from_args(family: str, args) -> object:
                       n_dual=args.n_dual, weight_sharing=args.weight_sharing)
         )
     kwargs["kernel_dc"] = bool(args.kernel_dc)
+    if getattr(args, "coil_devices", 1) > 1:
+        kwargs["coil_axis"] = "coil"  # tensor parallelism over receive coils
     # every denoiser stack (U-Net, MWCNN, CRNN trunk) supports packed/bf16
     packed = args.packed
     if packed is None:  # auto: where the A/B wins (BASELINE.md)
@@ -383,16 +396,31 @@ def train_test_main(family: str, argv=None) -> Dict:
     from cinemri_tpu.parallel import make_mesh, make_process_sum, process_info
 
     n_devices = args.num_devices if args.num_devices > 0 else len(jax.devices())
-    if n_devices > len(jax.devices()):
+    n_coil = max(1, args.coil_devices)
+    total_devices = n_devices * n_coil
+    if total_devices > len(jax.devices()):
         raise ValueError(
-            f"--num_devices {n_devices} but only {len(jax.devices())} "
+            f"--num_devices {n_devices} x --coil_devices {n_coil} = "
+            f"{total_devices} but only {len(jax.devices())} "
             f"devices visible (platform {jax.devices()[0].platform})"
         )
-    mesh = (
-        make_mesh({"data": n_devices}, devices=jax.devices()[:n_devices])
-        if n_devices > 1
-        else None
-    )
+    if n_coil > 1:
+        # a 2-D data x coil mesh; the models' coil_axis constraints resolve
+        # bare PartitionSpecs against the ambient mesh, so set it globally
+        mesh = make_mesh(
+            {"data": n_devices, "coil": n_coil},
+            devices=jax.devices()[:total_devices],
+        )
+        jax.set_mesh(mesh)
+        from cinemri_tpu.physics import set_normal_backend
+
+        set_normal_backend("xla")  # pallas is opaque to the SPMD partitioner
+    else:
+        mesh = (
+            make_mesh({"data": n_devices}, devices=jax.devices()[:n_devices])
+            if n_devices > 1
+            else None
+        )
     rank, world = process_info()
     global_batch = args.batch_size * n_devices
     # each process loads its rank's shard of every global batch; the global

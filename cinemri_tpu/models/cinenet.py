@@ -31,6 +31,7 @@ from cinemri_tpu.ops.cplx import cmean, from_channels, to_channels
 from cinemri_tpu.ops.fft import fft1c, ifft1c
 from cinemri_tpu.physics.cg import conj_grad
 from cinemri_tpu.physics.operators import (
+    constrain_coil_axis,
     is_line_mask,
     masked_normal_kernel,
     normal_plus_lambda,
@@ -54,6 +55,7 @@ class CineNetCascade(nn.Module):
     dynamic_type: str = "XF"
     weight_sharing: bool = False
     plane_axis: str = ""  # sequence-parallel mesh axis (see VarNetCascade)
+    coil_axis: str = ""  # tensor-parallel mesh axis for the coil dim
     packed: bool = False  # space-to-depth denoisers (unet.Unet.packed)
     dtype: jnp.dtype = jnp.float32  # denoiser activation dtype
 
@@ -112,6 +114,8 @@ class CineNetCascade(nn.Module):
 
         model_out = model_out[:, :, None]  # (b, t, 1, h, w)
         v = jax.nn.softplus(lam)
+        # re-anchor the coil layout inside the scan body (see VarNetCascade)
+        sens_maps = constrain_coil_axis(sens_maps, self.coil_axis)
         rhs = image_ref + v * model_out  # cinenet.py:255-257
         if dc_kernel is None:
             op = lambda z: normal_plus_lambda(z, mask, sens_maps, v)
@@ -132,6 +136,8 @@ class CineNet(nn.Module):
     weight_sharing: bool = False
     remat: bool = True
     plane_axis: str = ""  # sequence-parallel mesh axis for XT/XF planes
+    # tensor-parallel mesh axis for the coil dimension (see VarNet.coil_axis)
+    coil_axis: str = ""
     # space-to-depth lane packing of the denoiser conv stacks — exact,
     # same params (denoisers/packed_unet.py)
     packed: bool = False
@@ -152,6 +158,8 @@ class CineNet(nn.Module):
             raise ValueError(
                 "dynamic_type must be 2D/3D/XT/XF (CRNN is models.recurrent.CineNetRNN)"
             )
+        masked_kspace = constrain_coil_axis(masked_kspace, self.coil_axis)
+        sens_maps = constrain_coil_axis(sens_maps, self.coil_axis)
         image_ref = sens_reduce(masked_kspace, sens_maps)  # (b, t, 1, h, w)
         lam = self.param("lambda_reg", lambda_init, (self.num_cascades,))
         dc_kernel = (
@@ -175,6 +183,7 @@ class CineNet(nn.Module):
             dynamic_type=self.dynamic_type,
             weight_sharing=self.weight_sharing,
             plane_axis=self.plane_axis,
+            coil_axis=self.coil_axis,
             packed=self.packed,
             dtype=jnp.bfloat16 if self.bf16 else jnp.float32,
             name="cascades",

@@ -36,6 +36,7 @@ from cinemri_tpu.physics.cg import conj_grad
 from cinemri_tpu.physics.operators import (
     apply_mask,
     coil_weight,
+    constrain_coil_axis,
     is_line_mask,
     masked_normal_kernel,
     normal_plus_lambda,
@@ -137,9 +138,11 @@ class _VarNetRNNStep(nn.Module):
     chans: int
     dtype: jnp.dtype = jnp.float32
     block: tuple = ()
+    coil_axis: str = ""  # tensor-parallel mesh axis for the coil dim
 
     @nn.compact
     def __call__(self, carry, ref, mask, sens_maps, dc_kernel, rss0=None):
+        sens_maps = constrain_coil_axis(sens_maps, self.coil_axis)
         x, hiddens = carry
         b, t, h, w = x.shape
         x_in = _image_to_tb(x)  # (t, b, h, w, 2)
@@ -180,14 +183,18 @@ class VarNetRNN(nn.Module):
     # override the auto space-to-depth block for the CRNN trunk
     # (default: _trunk_block's 128-lane rule); e.g. (2, 4)
     trunk_block: tuple = ()
+    # tensor-parallel mesh axis for the coil dimension (see VarNet.coil_axis)
+    coil_axis: str = ""
 
     @nn.compact
     def __call__(self, ref_kspace: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         dtype = jnp.bfloat16 if self.bf16 else jnp.float32
+        ref_kspace = constrain_coil_axis(ref_kspace, self.coil_axis)
         sens_maps = SensitivityModel(
             self.sens_chans, self.sens_pools, packed=self.packed,
-            dtype=dtype, name="sens_net"
+            dtype=dtype, coil_axis=self.coil_axis, name="sens_net"
         )(ref_kspace, mask)
+        sens_maps = constrain_coil_axis(sens_maps, self.coil_axis)
         x_ref = sens_reduce(ref_kspace, sens_maps)  # (b, t, 1, h, w)
         x = x_ref[:, :, 0]
         b, t, h, w = x.shape
@@ -208,7 +215,8 @@ class VarNetRNN(nn.Module):
             length=self.num_cascades,
         )
         (x, _), _ = scan(
-            chans=self.chans, dtype=dtype, block=block, name="iterations"
+            chans=self.chans, dtype=dtype, block=block,
+            coil_axis=self.coil_axis, name="iterations"
         )((x, hiddens), ref, mask, sens_maps, dc_kernel, rss0)
         return x.abs()
 
@@ -218,9 +226,11 @@ class _CineNetRNNStep(nn.Module):
     cg_iters: int
     dtype: jnp.dtype = jnp.float32
     block: tuple = ()
+    coil_axis: str = ""  # tensor-parallel mesh axis for the coil dim
 
     @nn.compact
     def __call__(self, carry, x_ref, mask, sens_maps, dc_kernel):
+        sens_maps = constrain_coil_axis(sens_maps, self.coil_axis)
         x, hiddens = carry
         b, t, h, w = x.shape
         x_in = _image_to_tb(x)
@@ -259,12 +269,16 @@ class CineNetRNN(nn.Module):
     # override the auto space-to-depth block for the CRNN trunk
     # (default: _trunk_block's 128-lane rule); e.g. (2, 4)
     trunk_block: tuple = ()
+    # tensor-parallel mesh axis for the coil dimension (see VarNet.coil_axis)
+    coil_axis: str = ""
 
     @nn.compact
     def __call__(
         self, ref_kspace: jnp.ndarray, mask: jnp.ndarray, sens_maps: jnp.ndarray
     ) -> jnp.ndarray:
         dtype = jnp.bfloat16 if self.bf16 else jnp.float32
+        ref_kspace = constrain_coil_axis(ref_kspace, self.coil_axis)
+        sens_maps = constrain_coil_axis(sens_maps, self.coil_axis)
         x_ref = sens_reduce(ref_kspace, sens_maps)  # (b, t, 1, h, w)
         x = x_ref[:, :, 0]
         b, t, h, w = x.shape
@@ -286,7 +300,7 @@ class CineNetRNN(nn.Module):
         )
         (x, _), _ = scan(
             chans=self.chans, cg_iters=self.cg_iters, dtype=dtype, block=block,
-            name="iterations",
+            coil_axis=self.coil_axis, name="iterations",
         )((x, hiddens), x_ref, mask, sens_maps, dc_kernel)
         return x.abs()
 
@@ -357,9 +371,11 @@ class _XPDNetRNNStep(nn.Module):
     n_primal: int
     dtype: jnp.dtype = jnp.float32
     block: tuple = ()
+    coil_axis: str = ""  # tensor-parallel mesh axis for the coil dim
 
     @nn.compact
     def __call__(self, carry, ref_kspace, mask, sens_maps, x_ref, dc_kernel):
+        sens_maps = constrain_coil_axis(sens_maps, self.coil_axis)
         trunk = CRNNTrunk(
             self.chans,
             in_ch=2 * (self.n_primal + 1),
@@ -394,9 +410,11 @@ class _XPDNetRNNPackedStep(nn.Module):
     n_primal: int
     dtype: jnp.dtype = jnp.float32
     block: tuple = ()
+    coil_axis: str = ""  # tensor-parallel mesh axis for the coil dim
 
     @nn.compact
     def __call__(self, carry, sens_maps, x_ref, dc_kernel):
+        sens_maps = constrain_coil_axis(sens_maps, self.coil_axis)
         trunk = CRNNTrunk(
             self.chans,
             in_ch=2 * (self.n_primal + 1),
@@ -458,12 +476,17 @@ class XPDNetRNN(nn.Module):
     # override the auto space-to-depth block for the CRNN trunk
     # (default: _trunk_block's 128-lane rule); e.g. (2, 4)
     trunk_block: tuple = ()
+    # tensor-parallel mesh axis for the coil dimension (see VarNet.coil_axis)
+    coil_axis: str = ""
 
     @nn.compact
     def __call__(self, ref_kspace: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        ref_kspace = constrain_coil_axis(ref_kspace, self.coil_axis)
         sens_maps = XPDNetSensitivityModel(
-            self.sens_chans, self.sens_pools, name="sens_net"
+            self.sens_chans, self.sens_pools, coil_axis=self.coil_axis,
+            name="sens_net"
         )(ref_kspace, mask)
+        sens_maps = constrain_coil_axis(sens_maps, self.coil_axis)
         x_ref = sens_reduce(apply_mask(ref_kspace, mask), sens_maps)
         image = x_ref[:, :, 0]
         image_buffer = crepeat(image[..., None], self.n_primal, axis=-1)
@@ -497,7 +520,7 @@ class XPDNetRNN(nn.Module):
                 )
                 (buf_p, _), _ = scan(
                     chans=self.chans, n_primal=self.n_primal, dtype=dtype,
-                    block=block, name="iterations"
+                    block=block, coil_axis=self.coil_axis, name="iterations"
                 )((buf_p, hiddens), sens_maps, x_ref, dc_kernel)
                 buf = _merge_ri(unpack2(buf_p, block))  # (t,b,h,w,n) Complex
                 return buf[..., 0].transpose(1, 0, 2, 3).abs()
@@ -514,7 +537,7 @@ class XPDNetRNN(nn.Module):
             )
             carry, _ = scan(
                 chans=self.chans, n_primal=self.n_primal, dtype=dtype,
-                block=block, name="iterations"
+                block=block, coil_axis=self.coil_axis, name="iterations"
             )(carry, ref_kspace, mask, sens_maps, x_ref if use_kernel else None, dc_kernel)
         else:
             # shared trunk, per-iteration k-space nets (recurrent_xpdnet.py:66-73)

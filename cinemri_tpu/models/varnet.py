@@ -33,6 +33,7 @@ from cinemri_tpu.ops.fft import fft1c, ifft1c, ifft2c
 from cinemri_tpu.physics.lowfreq import center_band, mask_center_band
 from cinemri_tpu.physics.operators import (
     coil_weight,
+    constrain_coil_axis,
     is_line_mask,
     masked_normal_kernel,
     sens_expand,
@@ -64,6 +65,7 @@ class SensitivityModel(nn.Module):
     num_pools: int
     packed: bool = False
     dtype: jnp.dtype = jnp.float32
+    coil_axis: str = ""  # tensor-parallel mesh axis (physics.constrain_coil_axis)
 
     @nn.compact
     def __call__(self, masked_kspace: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -72,12 +74,14 @@ class SensitivityModel(nn.Module):
             return mask_center_band(cmean(k, axis=0), pad, num_low, axis=-2)
 
         x = jax.vmap(lowfreq)(masked_kspace, mask)  # (b, c, h, w)
+        x = constrain_coil_axis(x, self.coil_axis, dim=1)
         x = ifft2c(x)
         b, c, h, w = x.shape
         x = NormUnet(
             self.chans, self.num_pools, packed=self.packed, dtype=self.dtype
         )(x.reshape(b * c, h, w))
         x = x.reshape(b, c, h, w)
+        x = constrain_coil_axis(x, self.coil_axis, dim=1)
         x = x / rss_complex(x, axis=1)[:, None]
         return x[:, None]  # (b, 1, c, h, w)
 
@@ -99,6 +103,7 @@ class VarNetCascade(nn.Module):
     dynamic_type: str = "XF"
     weight_sharing: bool = False
     plane_axis: str = ""
+    coil_axis: str = ""  # tensor-parallel mesh axis for the coil dim
     packed: bool = False  # space-to-depth denoisers (unet.Unet.packed)
     dtype: jnp.dtype = jnp.float32  # denoiser activation dtype
 
@@ -143,7 +148,11 @@ class VarNetCascade(nn.Module):
         #   direct: carry/ref are k-space; per-cascade FFT pair + soft DC
         #   kernel: carry/ref are the combined image; the whole DC leg is
         #           R0*z - a*N(z) + a*x_ref with zero per-cascade DFTs
+        # Re-anchor the coil layout inside the scan body: nn.scan's broadcast
+        # does not guarantee constraint propagation into the loop.
+        sens_maps = constrain_coil_axis(sens_maps, self.coil_axis)
         if dc_kernel is None:
+            carry = constrain_coil_axis(carry, self.coil_axis)
             image = sens_reduce(carry, sens_maps)[:, :, 0]  # (b, t, h, w)
         else:
             image = carry[:, :, 0]
@@ -191,6 +200,12 @@ class VarNet(nn.Module):
     weight_sharing: bool = False
     remat: bool = True
     plane_axis: str = ""  # sequence-parallel mesh axis for XT/XF planes
+    # tensor-parallel mesh axis for the coil dimension: per-coil work
+    # (IFFTs, normal-operator matmuls, the sens U-Net's coil-folded batch)
+    # shards across chips and the coil-combine reductions become
+    # all-reduces (physics.constrain_coil_axis). Requires jax.set_mesh and
+    # the xla normal backend.
+    coil_axis: str = ""
     # space-to-depth lane packing of every denoiser conv stack — exact,
     # same params (denoisers/packed_unet.py)
     packed: bool = False
@@ -211,10 +226,12 @@ class VarNet(nn.Module):
                 "models.recurrent.VarNetRNN)"
             )
         dtype = jnp.bfloat16 if self.bf16 else jnp.float32
+        masked_kspace = constrain_coil_axis(masked_kspace, self.coil_axis)
         sens_maps = SensitivityModel(
             self.sens_chans, self.sens_pools, packed=self.packed,
-            dtype=dtype, name="sens_net"
+            dtype=dtype, coil_axis=self.coil_axis, name="sens_net"
         )(masked_kspace, mask)
+        sens_maps = constrain_coil_axis(sens_maps, self.coil_axis)
         lam = self.param("lambda_reg", lambda_init, (self.num_cascades,))
 
         use_kernel = self.kernel_dc and is_line_mask(mask)
@@ -240,6 +257,7 @@ class VarNet(nn.Module):
             dynamic_type=self.dynamic_type,
             weight_sharing=self.weight_sharing,
             plane_axis=self.plane_axis,
+            coil_axis=self.coil_axis,
             packed=self.packed,
             dtype=dtype,
             name="cascades",

@@ -56,6 +56,7 @@ from cinemri_tpu.ops.pad import pad_for_mwcnn, unpad_from_mwcnn
 from cinemri_tpu.physics.lowfreq import center_band, mask_center_band
 from cinemri_tpu.physics.operators import (
     apply_mask,
+    constrain_coil_axis,
     is_line_mask,
     masked_normal_kernel,
     normal_plus_lambda_kernel,
@@ -78,6 +79,7 @@ class XPDNetSensitivityModel(nn.Module):
     chans: int
     num_pools: int
     res_connection: bool = True
+    coil_axis: str = ""  # tensor-parallel mesh axis (physics.constrain_coil_axis)
 
     @nn.compact
     def __call__(self, masked_kspace: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -86,6 +88,7 @@ class XPDNetSensitivityModel(nn.Module):
             return mask_center_band(cmean(k, axis=0), pad, num_low, axis=-2)
 
         x = jax.vmap(lowfreq)(masked_kspace, mask)  # (b, c, h, w)
+        x = constrain_coil_axis(x, self.coil_axis, dim=1)
         x = ifft2c(x)
         b, c, h, w = x.shape
         r = to_channels(x).reshape(b * c, h, w, 2)
@@ -93,6 +96,7 @@ class XPDNetSensitivityModel(nn.Module):
         if self.res_connection:
             out = out + r
         x = from_channels(out.reshape(b, c, h, w, 2))
+        x = constrain_coil_axis(x, self.coil_axis, dim=1)
         x = x / rss_complex(x, axis=1)[:, None]
         return x[:, None]  # (b, 1, c, h, w)
 
@@ -112,6 +116,7 @@ class XPDNetBlock(nn.Module):
     dynamic_type: str = "XF"
     weight_sharing: bool = False
     plane_axis: str = ""  # sequence-parallel mesh axis (see VarNetCascade)
+    coil_axis: str = ""  # tensor-parallel mesh axis for the coil dim
     packed: bool = False  # space-to-depth MWCNN (mwcnn.MWCNN.packed)
     dtype: jnp.dtype = jnp.float32  # denoiser activation dtype
 
@@ -207,6 +212,8 @@ class XPDNetBlock(nn.Module):
     @nn.compact
     def __call__(self, carry, ref_kspace, mask, sens_maps, x_ref, dc_kernel):
         image_buffer, kspace_buffer = carry
+        # re-anchor the coil layout inside the scan body (see VarNetCascade)
+        sens_maps = constrain_coil_axis(sens_maps, self.coil_axis)
         if dc_kernel is not None and self.primal_only:
             # measurements-residual K-step + backward op collapsed:
             # S^H F⁻¹ m (F S head − k_ref) = N(head) − x_ref — one h-axis
@@ -247,6 +254,8 @@ class XPDNet(nn.Module):
     weight_sharing: bool = False
     remat: bool = True
     plane_axis: str = ""  # sequence-parallel mesh axis for XT/XF planes
+    # tensor-parallel mesh axis for the coil dimension (see VarNet.coil_axis)
+    coil_axis: str = ""
     kernel_dc: bool = True  # see VarNet.kernel_dc (primal_only mode only)
     packed: bool = False  # space-to-depth MWCNN conv stacks (exact)
     bf16: bool = False  # bfloat16 denoiser activations (see VarNet.bf16)
@@ -258,9 +267,12 @@ class XPDNet(nn.Module):
                 "XPDNet dynamic_type must be 2D/XT/XF (CRNN is "
                 "models.recurrent.XPDNetRNN; 3D is excluded by the reference)"
             )
+        masked_kspace = constrain_coil_axis(masked_kspace, self.coil_axis)
         sens_maps = XPDNetSensitivityModel(
-            self.sens_chans, self.sens_pools, name="sens_net"
+            self.sens_chans, self.sens_pools, coil_axis=self.coil_axis,
+            name="sens_net"
         )(masked_kspace, mask)
+        sens_maps = constrain_coil_axis(sens_maps, self.coil_axis)
 
         x_ref = sens_reduce(masked_kspace, sens_maps)  # (b, t, 1, h, w)
         image = x_ref[:, :, 0]
@@ -292,6 +304,7 @@ class XPDNet(nn.Module):
             dynamic_type=self.dynamic_type,
             weight_sharing=self.weight_sharing,
             plane_axis=self.plane_axis,
+            coil_axis=self.coil_axis,
             packed=self.packed,
             dtype=jnp.bfloat16 if self.bf16 else jnp.float32,
             name="cascades",

@@ -10,7 +10,10 @@ all-reduce over ICI — no communication code in the model.
 An optional ``plane`` axis demonstrates the XT/XF sequence-parallel layout:
 the rotated-plane batches (b·h independent (w,t) images per cascade,
 varnet.py:216-217) are embarrassingly parallel and can be sharded across
-chips with no halo exchange (SURVEY §5 long-context notes).
+chips with no halo exchange (SURVEY §5 long-context notes). An optional
+``coil`` axis shards the receive-coil dimension (tensor parallelism —
+:func:`cinemri_tpu.physics.constrain_coil_axis`); both compose with
+``data`` on a 2-D mesh.
 """
 
 from __future__ import annotations

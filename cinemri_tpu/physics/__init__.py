@@ -10,6 +10,7 @@ from cinemri_tpu.physics.operators import (
     masked_normal_kernel,
     normal_plus_lambda_kernel,
     coil_weight,
+    constrain_coil_axis,
     set_normal_backend,
     soft_dc_image_kernel,
     soft_sense_expand,
@@ -34,6 +35,7 @@ __all__ = [
     "masked_normal_kernel",
     "normal_plus_lambda_kernel",
     "coil_weight",
+    "constrain_coil_axis",
     "set_normal_backend",
     "soft_dc_image_kernel",
     "soft_sense_expand",

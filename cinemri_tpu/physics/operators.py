@@ -34,6 +34,7 @@ __all__ = [
     "coil_weight",
     "soft_dc_image_kernel",
     "set_normal_backend",
+    "constrain_coil_axis",
 ]
 
 COIL_AXIS = 2
@@ -107,6 +108,42 @@ def _pallas_normal_eligible(x: Complex, kernel: Complex, sens: Complex) -> bool:
 
 def _c(x) -> Complex:
     return x if isinstance(x, Complex) else from_complex(x)
+
+
+def constrain_coil_axis(x, axis_name: str, dim: int = COIL_AXIS):
+    """Shard-constrain the coil dimension over a mesh axis (tensor parallel).
+
+    The coil dimension of ``(b, t, c, h, w)`` k-space / ``(b, 1, c, h, w)``
+    sensitivity maps is embarrassingly parallel everywhere except the
+    coil-combine reductions (:func:`sens_reduce`'s ``csum``,
+    :func:`coil_weight`, RSS normalization). Anchoring it to a mesh axis
+    with this constraint makes XLA's SPMD partitioner compute every
+    coil-carrying tensor shard-locally — the per-coil IFFTs, the normal
+    operator's three Gauss matmuls, the sensitivity U-Net's coil-folded
+    batch — and lower each reduction to one ``all-reduce`` over ICI. This
+    is the tensor-parallel layout for high-coil-count arrays (clinical cine
+    uses 15-30 receive channels; the reference, which loads all coils onto
+    one GPU, has no analogue — mri_data.py:279-283 fixes c at file level).
+
+    No-op when ``axis_name`` is empty. Requires an ambient mesh
+    (``jax.set_mesh``) carrying the axis, like the models' ``plane_axis``,
+    and a coil count divisible by the mesh axis size. Coil-sharded runs
+    must use the ``xla`` normal backend: Pallas kernels are opaque to the
+    SPMD partitioner (:func:`set_normal_backend`).
+    """
+    if not axis_name:
+        return x
+    import jax
+    from jax.sharding import PartitionSpec
+
+    def one(a):
+        spec = [None] * a.ndim
+        spec[dim] = axis_name
+        return jax.lax.with_sharding_constraint(a, PartitionSpec(*spec))
+
+    if isinstance(x, Complex):
+        return Complex(one(x.re), one(x.im))
+    return one(x)
 
 
 def sens_expand(image, sens_maps) -> Complex:

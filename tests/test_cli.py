@@ -257,6 +257,30 @@ class TestDistributedCLI:
         with pytest.raises(ValueError, match="devices visible"):
             self._run(workdir8, "toobig", ["--num_devices", "99"])
 
+    def test_coil_devices_2d_mesh_train(self, workdir8):
+        """--coil_devices composes with --num_devices on a 2-D data x coil
+        mesh: the 2-coil synthetic volumes shard over the coil axis. The
+        pre-update epoch-0 training loss must match the single-device run
+        exactly (same data, masks, init); post-update val metrics are
+        compared loosely — the coil all-reduce's different summation order
+        flips signs of near-zero gradient entries, which first-step Adam
+        amplifies to ~lr-sized param deltas (see
+        tests/test_parallel.py::TestCoilParallel for strict gradient-level
+        equivalence)."""
+        out_tp = self._run(
+            workdir8, "coiltp",
+            ["--num_devices", "2", "--coil_devices", "2", "--batch_size", "4"],
+        )
+        out_single = self._run(
+            workdir8, "coilsingle", ["--num_devices", "1", "--batch_size", "8"]
+        )
+        m, s = out_tp["history"][0], out_single["history"][0]
+        assert np.isclose(m["train_loss"], s["train_loss"], rtol=1e-4, atol=1e-6)
+        for key in ("val_ssim", "val_nmse", "val_loss"):
+            assert np.isclose(m[key], s[key], rtol=5e-3, atol=1e-4), (
+                key, m[key], s[key],
+            )
+
 
 class TestExportMode:
     def test_export_writes_loadable_artifact(self, workdir):

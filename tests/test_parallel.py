@@ -182,6 +182,141 @@ class TestSequenceParallelPlanes:
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
 
+class TestCoilParallel:
+    """Tensor parallelism over the coil dimension (physics.constrain_coil_axis):
+    per-coil work shards across a 'coil' mesh axis and the coil-combine
+    reductions lower to all-reduces. The reference has no analogue (all
+    coils of a file ride one GPU, mri_data.py:279-283); equivalence to the
+    replicated result is the correctness contract."""
+
+    def _inputs(self, rng, b=1, t=3, c=4, h=16, w=16):
+        k = (
+            rng.standard_normal((b, t, c, h, w))
+            + 1j * rng.standard_normal((b, t, c, h, w))
+        ).astype(np.complex64)
+        m = np.zeros((b, t, 1, h, 1), np.float32)
+        m[:, :, :, h // 2 - 3 : h // 2 + 3] = 1
+        m[:, :, :, 2] = 1
+        sens = (
+            rng.standard_normal((b, 1, c, h, w))
+            + 1j * rng.standard_normal((b, 1, c, h, w))
+        ).astype(np.complex64)
+        sens /= np.sqrt((np.abs(sens) ** 2).sum(2, keepdims=True))
+        return k, m, sens
+
+    @pytest.mark.parametrize(
+        "family,dynamic",
+        [
+            ("varnet", "XF"),
+            ("varnet", "CRNN"),
+            ("cinenet", "XF"),
+            ("xpdnet", "XF"),
+            ("xpdnet", "CRNN"),
+        ],
+    )
+    def test_coil_axis_model_equivalence(self, family, dynamic, rng):
+        """Every family accepts coil_axis and reconstructs identically with
+        the coil dimension sharded 4-ways."""
+        k, m, sens = self._inputs(rng)
+        kwargs = dict(num_cascades=1)
+        if family == "varnet":
+            kwargs.update(sens_chans=4, sens_pools=2, chans=4)
+            if dynamic != "CRNN":
+                kwargs.update(pools=2)
+        elif family == "cinenet":
+            kwargs.update(cg_iters=2, chans=4)
+            if dynamic != "CRNN":
+                kwargs.update(pools=2)
+        else:
+            kwargs.update(sens_chans=4, sens_pools=2, n_primal=3)
+            if dynamic != "CRNN":
+                kwargs.update(
+                    n_scales=2, n_filters_per_scale=(4, 8), n_convs_per_scale=(2, 2)
+                )
+            else:
+                kwargs.update(chans=4)
+        args = (
+            (from_complex(k * m), jnp.asarray(m), from_complex(sens))
+            if family == "cinenet"
+            else (from_complex(k * m), jnp.asarray(m))
+        )
+        plain = build_model(family, dynamic, **kwargs)
+        params = plain.init(jax.random.PRNGKey(0), *args)
+        want = np.asarray(jax.jit(plain.apply)(params, *args))
+
+        mesh = make_mesh({"coil": 4}, devices=jax.devices()[:4])
+        sharded = build_model(family, dynamic, coil_axis="coil", **kwargs)
+        with jax.set_mesh(mesh):
+            got = np.asarray(jax.jit(sharded.apply)(params, *args))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+    def test_coil_axis_direct_kspace_path(self, rng):
+        """kernel_dc=False keeps the per-cascade k-space round trip — the
+        coil-sharded carry (sens_expand / soft_dc / sens_reduce) must still
+        match the replicated run."""
+        k, m, sens = self._inputs(rng)
+        kwargs = dict(num_cascades=2, sens_chans=4, sens_pools=2, chans=4,
+                      pools=2, kernel_dc=False)
+        args = (from_complex(k * m), jnp.asarray(m))
+        plain = build_model("varnet", "XF", **kwargs)
+        params = plain.init(jax.random.PRNGKey(0), *args)
+        want = np.asarray(jax.jit(plain.apply)(params, *args))
+
+        mesh = make_mesh({"coil": 4}, devices=jax.devices()[:4])
+        sharded = build_model("varnet", "XF", coil_axis="coil", **kwargs)
+        with jax.set_mesh(mesh):
+            got = np.asarray(jax.jit(sharded.apply)(params, *args))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+    def test_data_coil_2d_mesh_gradients(self, rng):
+        """Loss and gradients on a 2-D data x coil mesh match the
+        single-device values (the all-reduces over BOTH axes are correct).
+        Gradients are compared directly rather than post-Adam params:
+        a first Adam step is ~sign(g)*lr, so a near-zero gradient entry
+        whose sign flips under a different reduction order would show a
+        spurious 2*lr param delta."""
+        from cinemri_tpu.train.step import _loss_and_output, model_apply_fn
+
+        b, c = 2, 4
+        k, m, sens = self._inputs(rng, b=b, c=c)
+        batch = {
+            "masked_kspace": k * m,
+            "mask": m,
+            "target": np.abs(k).mean(axis=2).astype(np.float32),
+        }
+        tx = make_optimizer(lr=1e-3, steps_per_epoch=1)
+
+        model1 = build_model("varnet", "XF", **TINY)
+        arrays1 = shard_batch(batch, None)
+        state1 = create_train_state(model1, arrays1, tx)
+
+        def grads_of(model, params, arrays):
+            apply = model_apply_fn(model)
+            loss_fn = lambda p: _loss_and_output(apply, p, arrays)[0]
+            return jax.jit(jax.value_and_grad(loss_fn))(params)
+
+        loss1, g1 = grads_of(model1, state1.params, arrays1)
+
+        mesh = make_mesh({"data": 2, "coil": 4})
+        model2 = build_model("varnet", "XF", coil_axis="coil", **TINY)
+        with jax.set_mesh(mesh):
+            arrays2 = shard_batch(batch, mesh)
+            loss2, g2 = grads_of(model2, state1.params, arrays2)
+            # and the full optimizer step executes on the mesh
+            state2 = create_train_state(model2, arrays2, tx)
+            _, aux2 = make_train_step(donate=False)(state2, arrays2)
+
+        np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+        assert np.isfinite(float(aux2["loss"]))
+        for a, v in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            # atol floor: the coil all-reduce sums in a different order than
+            # the sequential coil reduce. Diagnosed as pure rounding: a
+            # data-ONLY mesh reproduces g1 bit-identically, while any
+            # coil-sharded mesh shows ~1e-6..3e-5 abs wobble concentrated on
+            # near-zero entries (relative error meaningless there)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(v), rtol=2e-4, atol=5e-5)
+
+
 class TestDistributedHelpers:
     def test_process_info_single_host(self):
         from cinemri_tpu.parallel import process_info
