@@ -173,10 +173,18 @@ def build_parser(family: str) -> argparse.ArgumentParser:
              "receive-coil dimension of k-space and sensitivity maps shards "
              "across them and the coil-combine reductions all-reduce over "
              "the mesh (physics.constrain_coil_axis). Composes with "
-             "--num_devices on a 2-D data x coil mesh (total devices = "
-             "product); the dataset's coil count must be divisible by it. "
+             "--num_devices and --plane_devices on one mesh (total devices "
+             "= product); the dataset's coil count must be divisible by it. "
              "Forces the xla normal backend (Pallas kernels are opaque to "
              "the SPMD partitioner).",
+    )
+    p.add_argument(
+        "--plane_devices", default=1, type=int,
+        help="Devices on the plane (sequence-parallel) mesh axis: the XT/XF "
+             "rotated-plane batches (b*h and b*w independent (.,t) images "
+             "per cascade) shard across them with no halo exchange. "
+             "Requires --dynamic_type XT or XF; composes with "
+             "--num_devices and --coil_devices on one mesh.",
     )
     # multi-host (the reference's ddp multi-process backend,
     # train_test_varnet.py:288-290): launch one process per host with the
@@ -264,6 +272,13 @@ def _build_model_from_args(family: str, args) -> object:
     kwargs["kernel_dc"] = bool(args.kernel_dc)
     if getattr(args, "coil_devices", 1) > 1:
         kwargs["coil_axis"] = "coil"  # tensor parallelism over receive coils
+    if getattr(args, "plane_devices", 1) > 1:
+        if args.dynamic_type not in ("XT", "XF"):
+            raise ValueError(
+                "--plane_devices shards the XT/XF rotated-plane batches; "
+                f"dynamic_type {args.dynamic_type!r} has none"
+            )
+        kwargs["plane_axis"] = "plane"  # sequence parallelism over planes
     # every denoiser stack (U-Net, MWCNN, CRNN trunk) supports packed/bf16
     packed = args.packed
     if packed is None:  # auto: where the A/B wins (BASELINE.md)
@@ -397,24 +412,31 @@ def train_test_main(family: str, argv=None) -> Dict:
 
     n_devices = args.num_devices if args.num_devices > 0 else len(jax.devices())
     n_coil = max(1, args.coil_devices)
-    total_devices = n_devices * n_coil
+    n_plane = max(1, args.plane_devices)
+    total_devices = n_devices * n_coil * n_plane
     if total_devices > len(jax.devices()):
         raise ValueError(
-            f"--num_devices {n_devices} x --coil_devices {n_coil} = "
-            f"{total_devices} but only {len(jax.devices())} "
-            f"devices visible (platform {jax.devices()[0].platform})"
+            f"--num_devices {n_devices} x --coil_devices {n_coil} x "
+            f"--plane_devices {n_plane} = {total_devices} but only "
+            f"{len(jax.devices())} devices visible "
+            f"(platform {jax.devices()[0].platform})"
         )
+    shape = {"data": n_devices}
+    if n_plane > 1:
+        shape["plane"] = n_plane
     if n_coil > 1:
-        # a 2-D data x coil mesh; the models' coil_axis constraints resolve
-        # bare PartitionSpecs against the ambient mesh, so set it globally
-        mesh = make_mesh(
-            {"data": n_devices, "coil": n_coil},
-            devices=jax.devices()[:total_devices],
-        )
+        shape["coil"] = n_coil
+    if len(shape) > 1:
+        # a multi-axis mesh; the models' coil_axis/plane_axis constraints
+        # resolve bare PartitionSpecs against the ambient mesh, so set it
+        # globally for the whole run
+        mesh = make_mesh(shape, devices=jax.devices()[:total_devices])
         jax.set_mesh(mesh)
-        from cinemri_tpu.physics import set_normal_backend
+        if n_coil > 1:
+            from cinemri_tpu.physics import set_normal_backend
 
-        set_normal_backend("xla")  # pallas is opaque to the SPMD partitioner
+            # pallas is opaque to the SPMD partitioner
+            set_normal_backend("xla")
     else:
         mesh = (
             make_mesh({"data": n_devices}, devices=jax.devices()[:n_devices])

@@ -281,6 +281,31 @@ class TestDistributedCLI:
                 key, m[key], s[key],
             )
 
+    def test_plane_devices_train(self, workdir8):
+        """--plane_devices shards the XF rotated-plane batches over a
+        data x plane mesh through the CLI; metrics match a single-device
+        run of the same global batch."""
+        out_sp = self._run(
+            workdir8, "planesp",
+            ["--num_devices", "2", "--plane_devices", "2", "--batch_size", "4"],
+        )
+        out_single = self._run(
+            workdir8, "planesingle", ["--num_devices", "1", "--batch_size", "8"]
+        )
+        m, s = out_sp["history"][0], out_single["history"][0]
+        assert np.isclose(m["train_loss"], s["train_loss"], rtol=1e-4, atol=1e-6)
+        for key in ("val_ssim", "val_nmse", "val_loss"):
+            assert np.isclose(m[key], s[key], rtol=5e-3, atol=1e-4), (
+                key, m[key], s[key],
+            )
+
+    def test_plane_devices_rejects_non_plane_variants(self, workdir8):
+        with pytest.raises(ValueError, match="rotated-plane"):
+            self._run(
+                workdir8, "plane2d",
+                ["--plane_devices", "2", "--dynamic_type", "2D"],
+            )
+
 
 class TestExportMode:
     def test_export_writes_loadable_artifact(self, workdir):
