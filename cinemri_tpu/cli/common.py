@@ -362,7 +362,21 @@ def _pin_platform_from_env() -> None:
 
 
 def train_test_main(family: str, argv=None) -> Dict:
-    """The reference's train_test_main (train_test_varnet.py:22-136)."""
+    """The reference's train_test_main (train_test_varnet.py:22-136).
+
+    Process-global state this run needs (the ambient mesh for
+    --coil_devices/--plane_devices, the forced xla normal backend) is
+    scoped to the call: the ExitStack restores it on return or error, so
+    repeated in-process invocations (tests, notebooks, sweep drivers)
+    never see a previous run's mesh or backend.
+    """
+    from contextlib import ExitStack
+
+    with ExitStack() as _scope:
+        return _train_test_main(family, argv, _scope)
+
+
+def _train_test_main(family: str, argv, _scope) -> Dict:
     from cinemri_tpu.utils.compile_cache import enable_compile_cache
 
     _pin_platform_from_env()
@@ -410,9 +424,19 @@ def train_test_main(family: str, argv=None) -> Dict:
 
     from cinemri_tpu.parallel import make_mesh, make_process_sum, process_info
 
-    n_devices = args.num_devices if args.num_devices > 0 else len(jax.devices())
     n_coil = max(1, args.coil_devices)
     n_plane = max(1, args.plane_devices)
+    # validate BEFORE mutating any process-global state (mesh, backend)
+    if n_plane > 1 and args.dynamic_type not in ("XT", "XF"):
+        raise ValueError(
+            "--plane_devices shards the XT/XF rotated-plane batches; "
+            f"dynamic_type {args.dynamic_type!r} has none"
+        )
+    n_devices = (
+        args.num_devices
+        if args.num_devices > 0
+        else max(1, len(jax.devices()) // (n_coil * n_plane))
+    )
     total_devices = n_devices * n_coil * n_plane
     if total_devices > len(jax.devices()):
         raise ValueError(
@@ -429,14 +453,21 @@ def train_test_main(family: str, argv=None) -> Dict:
     if len(shape) > 1:
         # a multi-axis mesh; the models' coil_axis/plane_axis constraints
         # resolve bare PartitionSpecs against the ambient mesh, so set it
-        # globally for the whole run
+        # for the rest of the run (the caller's ExitStack restores it)
         mesh = make_mesh(shape, devices=jax.devices()[:total_devices])
-        jax.set_mesh(mesh)
+        _scope.enter_context(jax.set_mesh(mesh))
         if n_coil > 1:
-            from cinemri_tpu.physics import set_normal_backend
+            from cinemri_tpu.physics import get_normal_backend, set_normal_backend
 
-            # pallas is opaque to the SPMD partitioner
+            prev_backend = get_normal_backend()
+            if prev_backend != "xla":
+                print(
+                    f"--coil_devices: forcing the xla normal backend for "
+                    f"this run (was {prev_backend!r}; pallas kernels are "
+                    "opaque to the SPMD partitioner)"
+                )
             set_normal_backend("xla")
+            _scope.callback(set_normal_backend, prev_backend)
     else:
         mesh = (
             make_mesh({"data": n_devices}, devices=jax.devices()[:n_devices])

@@ -159,6 +159,7 @@ class _VarNetRNNStep(nn.Module):
         lam = self.param("lambda_reg", lambda_init, ())
         v = jax.nn.softplus(lam)
         if dc_kernel is None:  # ref is the k-space reference
+            ref = constrain_coil_axis(ref, self.coil_axis)
             current_k = sens_expand(out_img[:, :, None], sens_maps)
             dc = soft_dc(current_k, ref, mask, v)
             x_new = sens_reduce(dc, sens_maps)[:, :, 0]
@@ -307,7 +308,7 @@ class CineNetRNN(nn.Module):
 
 def _xpdnet_rnn_body(
     carry, ref_kspace, mask, sens_maps, trunk, kspace_net, n_primal,
-    x_ref=None, dc_kernel=None, block=(),
+    x_ref=None, dc_kernel=None, block=(), coil_axis="",
 ):
     """One K-correction + buffer update + CRNN image correction
     (recurrent_xpdnet.py:89-231). ``trunk`` is a bound CRNNTrunk; ``kspace_net``
@@ -339,6 +340,8 @@ def _xpdnet_rnn_body(
         return image_buffer, kspace_buffer, hiddens
 
     # k-domain correction
+    ref_kspace = constrain_coil_axis(ref_kspace, coil_axis)
+    kspace_buffer = constrain_coil_axis(kspace_buffer, coil_axis)
     fwd = apply_mask(sens_expand(head, sens_maps), mask)
     if kspace_net is not None:
         cat = cconcat(
@@ -387,6 +390,7 @@ class _XPDNetRNNStep(nn.Module):
         carry = _xpdnet_rnn_body(
             carry, ref_kspace, mask, sens_maps, trunk, None, self.n_primal,
             x_ref=x_ref, dc_kernel=dc_kernel, block=self.block,
+            coil_axis=self.coil_axis,
         )
         return carry, None
 
@@ -555,7 +559,7 @@ class XPDNetRNN(nn.Module):
                 knet = KSpaceCNN(out_chans=2 * self.n_dual, name=f"kspace_net_{i}")
                 carry = _xpdnet_rnn_body(
                     carry, ref_kspace, mask, sens_maps, trunk, knet,
-                    self.n_primal, block=block,
+                    self.n_primal, block=block, coil_axis=self.coil_axis,
                 )
 
         return carry[0][..., 0].abs()

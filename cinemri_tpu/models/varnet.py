@@ -153,6 +153,7 @@ class VarNetCascade(nn.Module):
         sens_maps = constrain_coil_axis(sens_maps, self.coil_axis)
         if dc_kernel is None:
             carry = constrain_coil_axis(carry, self.coil_axis)
+            ref = constrain_coil_axis(ref, self.coil_axis)  # k-space reference
             image = sens_reduce(carry, sens_maps)[:, :, 0]  # (b, t, h, w)
         else:
             image = carry[:, :, 0]

@@ -225,6 +225,8 @@ class XPDNetBlock(nn.Module):
                 normal_plus_lambda_kernel(head, dc_kernel, sens_maps, 0.0) - x_ref
             )[:, :, 0]
         else:
+            ref_kspace = constrain_coil_axis(ref_kspace, self.coil_axis)
+            kspace_buffer = constrain_coil_axis(kspace_buffer, self.coil_axis)
             kspace_buffer = self._k_step(
                 image_buffer, kspace_buffer, ref_kspace, mask, sens_maps
             )

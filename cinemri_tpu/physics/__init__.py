@@ -12,6 +12,7 @@ from cinemri_tpu.physics.operators import (
     coil_weight,
     constrain_coil_axis,
     set_normal_backend,
+    get_normal_backend,
     soft_dc_image_kernel,
     soft_sense_expand,
     soft_sense_reduce,
@@ -37,6 +38,7 @@ __all__ = [
     "coil_weight",
     "constrain_coil_axis",
     "set_normal_backend",
+    "get_normal_backend",
     "soft_dc_image_kernel",
     "soft_sense_expand",
     "soft_sense_reduce",

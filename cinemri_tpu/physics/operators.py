@@ -34,6 +34,7 @@ __all__ = [
     "coil_weight",
     "soft_dc_image_kernel",
     "set_normal_backend",
+    "get_normal_backend",
     "constrain_coil_axis",
 ]
 
@@ -59,6 +60,11 @@ def set_normal_backend(backend: str) -> None:
     if backend not in ("xla", "pallas", "auto"):
         raise ValueError(f"unknown normal backend {backend!r}")
     _NORMAL_BACKEND = backend
+
+
+def get_normal_backend() -> str:
+    """The raw backend setting ('xla' | 'pallas' | 'auto'), unresolved."""
+    return _NORMAL_BACKEND
 
 
 def _resolve_normal_backend() -> str:
@@ -135,6 +141,17 @@ def constrain_coil_axis(x, axis_name: str, dim: int = COIL_AXIS):
         return x
     import jax
     from jax.sharding import PartitionSpec
+
+    shape = (x.re if isinstance(x, Complex) else x).shape
+    ambient = getattr(jax.sharding.get_abstract_mesh(), "shape", {})
+    n = ambient.get(axis_name)
+    if n and shape[dim] % n:
+        raise ValueError(
+            f"coil dimension of size {shape[dim]} (shape {tuple(shape)}, "
+            f"dim {dim}) does not divide over the {n}-device "
+            f"{axis_name!r} mesh axis — pick a coil-axis size that divides "
+            "the (possibly --compress_coils-reduced) coil count"
+        )
 
     def one(a):
         spec = [None] * a.ndim
