@@ -76,7 +76,7 @@ def main(full: bool = False, packed: bool = False, only: str = "",
                               n_filters_per_scale=(16, 32, 64), n_primal=5)),
         ("varnet", "CRNN", dict(num_cascades=10, sens_chans=8, sens_pools=3, chans=16)),
     ]
-    if full:
+    if full or only:
         configs += [
             ("varnet", "2D", dict(num_cascades=10, sens_chans=8, sens_pools=3, chans=16, pools=3)),
             ("varnet", "3D", dict(num_cascades=10, sens_chans=8, sens_pools=3, chans=16, pools=3)),

@@ -43,7 +43,11 @@ COIL_AXIS = 2
 # Backend for the kernelized normal-operator apply: "xla" (einsum chain,
 # coil-expanded intermediates in HBM), "pallas" (fused VMEM-resident
 # kernel, ops/kernels/normal_pallas.py — one HBM round trip per apply),
-# or "auto" (pallas on TPU backends where it compiles, xla elsewhere).
+# or "auto". The round-3 chip A/B measured the two backends identical to
+# within 0.3% wall-clock on every CineNet variant at the protocol shape
+# (XLA's fusion pipeline already streams the coil chain at HBM
+# speed-of-light; BASELINE.md), so "auto" resolves to the semantically
+# wider XLA path everywhere and pallas stays an explicit opt-in.
 _NORMAL_BACKEND = "xla"
 
 
@@ -68,17 +72,10 @@ def get_normal_backend() -> str:
 
 
 def _resolve_normal_backend() -> str:
-    """'auto' -> 'pallas' on a TPU-class default device, else 'xla'."""
+    """'auto' -> 'xla' (measured equal to pallas on-chip; see header)."""
     if _NORMAL_BACKEND != "auto":
         return _NORMAL_BACKEND
-    import jax
-
-    try:
-        dev = jax.devices()[0]
-        is_tpu = dev.platform in ("tpu", "axon") or "tpu" in dev.device_kind.lower()
-    except Exception:
-        is_tpu = False
-    return "pallas" if is_tpu else "xla"
+    return "xla"
 
 
 import os as _os  # noqa: E402
