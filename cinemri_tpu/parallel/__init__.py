@@ -5,6 +5,7 @@ from cinemri_tpu.parallel.mesh import (
     batch_sharding,
     replicated_sharding,
     shard_batch,
+    batch_partition_spec,
     ARRAY_KEYS,
 )
 from cinemri_tpu.parallel.distributed import (
@@ -18,6 +19,7 @@ __all__ = [
     "batch_sharding",
     "replicated_sharding",
     "shard_batch",
+    "batch_partition_spec",
     "ARRAY_KEYS",
     "initialize",
     "process_info",

@@ -29,10 +29,21 @@ __all__ = [
     "batch_sharding",
     "replicated_sharding",
     "shard_batch",
+    "batch_partition_spec",
     "ARRAY_KEYS",
 ]
 
 ARRAY_KEYS = ("masked_kspace", "mask", "target", "sens_maps", "sample_weight")
+
+# Which batch fields carry a receive-coil dimension, and where. When the
+# mesh has a ``coil`` axis these dims are sharded at array-CREATION time so
+# the global arrays enter the jitted step already laid out the way the
+# models' constrain_coil_axis constraints want them. Without this, XLA's
+# SPMD partitioner cannot reshard data-sharded inputs onto the coil axis
+# efficiently and falls back to "involuntary full rematerialization" —
+# replicate the full k-space tensor over ICI, then re-partition — on the
+# framework's hottest input, every step (observed in MULTICHIP_r03).
+_COIL_DIMS = {"masked_kspace": 2, "sens_maps": 2}
 
 
 def make_mesh(
@@ -57,9 +68,46 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def batch_partition_spec(
+    key: str, shape: Sequence[int], mesh: Mesh, axis: str = "data",
+    global_rows: Optional[int] = None,
+) -> P:
+    """The PartitionSpec a batch field should be CREATED with on ``mesh``.
+
+    Dim 0 (batch) shards over ``axis`` when the global row count divides
+    the axis size; a ``coil`` mesh axis additionally claims the coil dim of
+    coil-carrying fields (``_COIL_DIMS``) when the coil count divides it.
+    This is the same layout the models' in-program constraints
+    (physics.constrain_coil_axis) impose, so inputs arrive pre-sharded and
+    the SPMD partitioner never has to replicate-then-repartition them.
+    The ``plane`` axis claims no input dim: XT/XF plane batches are derived
+    (b·h) reshapes that only exist inside the program.
+    """
+    spec = [None] * len(shape)
+    rows = shape[0] if global_rows is None else global_rows
+    if axis in mesh.shape and rows % mesh.shape[axis] == 0:
+        spec[0] = axis
+    coil_dim = _COIL_DIMS.get(key)
+    if (
+        coil_dim is not None
+        and "coil" in mesh.shape
+        and len(shape) > coil_dim
+        and shape[coil_dim] % mesh.shape["coil"] == 0
+        and shape[coil_dim] > 1
+    ):
+        spec[coil_dim] = "coil"
+    while spec and spec[-1] is None:  # P('data') == P('data', None) is False
+        spec.pop()
+    return P(*spec)
+
+
 def shard_batch(batch: Dict, mesh: Optional[Mesh], axis: str = "data") -> Dict:
     """Device-put array fields, sharding the leading (batch) axis when it
     divides the mesh axis size; everything else is replicated.
+
+    On a mesh with a ``coil`` axis, the coil dimension of coil-carrying
+    fields is also sharded at creation time (:func:`batch_partition_spec`)
+    so the global arrays already match the models' coil-axis constraints.
 
     Host-side complex arrays become :class:`~cinemri_tpu.ops.cplx.Complex`
     (re, im) pairs here — complex dtypes never reach the device.
@@ -102,12 +150,7 @@ def shard_batch(batch: Dict, mesh: Optional[Mesh], axis: str = "data") -> Dict:
         if mesh is None:
             out[k] = to_device(v, None)
         else:
-            n = mesh.shape[axis]
-            n_local = v.shape[0] * (jax.process_count() if multiprocess else 1)
-            sh = (
-                batch_sharding(mesh, axis)
-                if n_local % n == 0
-                else replicated_sharding(mesh)
-            )
-            out[k] = to_device(v, sh)
+            rows = v.shape[0] * (jax.process_count() if multiprocess else 1)
+            spec = batch_partition_spec(k, v.shape, mesh, axis, global_rows=rows)
+            out[k] = to_device(v, NamedSharding(mesh, spec))
     return out

@@ -14,7 +14,12 @@ from jax.sharding import PartitionSpec as P
 
 from cinemri_tpu.models import build_model
 from cinemri_tpu.ops.cplx import Complex, from_complex
-from cinemri_tpu.parallel import batch_sharding, make_mesh, shard_batch
+from cinemri_tpu.parallel import (
+    batch_partition_spec,
+    batch_sharding,
+    make_mesh,
+    shard_batch,
+)
 from cinemri_tpu.train import create_train_state, make_optimizer, make_train_step
 
 TINY = dict(num_cascades=1, sens_chans=4, sens_pools=2, chans=4, pools=2)
@@ -315,6 +320,67 @@ class TestCoilParallel:
             # coil-sharded mesh shows ~1e-6..3e-5 abs wobble concentrated on
             # near-zero entries (relative error meaningless there)
             np.testing.assert_allclose(np.asarray(a), np.asarray(v), rtol=2e-4, atol=5e-5)
+
+
+class TestCoilMeshInputSharding:
+    """Batches entering a coil mesh must be CREATED in the models'
+    constrained layout (VERDICT r3 weak #1): with data-only input sharding
+    the SPMD partitioner cannot reach the coil-constrained layout
+    efficiently and falls back to involuntary full rematerialization —
+    replicating the full k-space tensor over ICI every step."""
+
+    def test_batch_partition_spec_coil_mesh(self):
+        mesh = make_mesh({"data": 2, "coil": 4})
+        spec = lambda k, s: batch_partition_spec(k, s, mesh)
+        assert spec("masked_kspace", (2, 3, 4, 16, 16)) == P("data", None, "coil")
+        assert spec("sens_maps", (2, 1, 4, 16, 16)) == P("data", None, "coil")
+        # no coil dim to claim: mask's dim 2 is 1, target has none
+        assert spec("mask", (2, 3, 1, 16, 1)) == P("data")
+        assert spec("target", (2, 3, 16, 16)) == P("data")
+        # coil count indivisible by the axis -> coil dim stays replicated
+        assert spec("masked_kspace", (2, 3, 3, 16, 16)) == P("data")
+        # rows indivisible -> batch dim replicated, coil dim still sharded
+        assert spec("masked_kspace", (3, 3, 4, 16, 16)) == P(None, None, "coil")
+        # data-only mesh: unchanged legacy layout
+        assert batch_partition_spec(
+            "masked_kspace", (8, 3, 4, 16, 16), make_mesh()
+        ) == P("data")
+
+    def test_shard_batch_matches_model_constraints(self, rng):
+        """shard_batch's created shardings equal the specs the models
+        constrain to (physics.constrain_coil_axis on dim 2)."""
+        mesh = make_mesh({"data": 2, "coil": 4})
+        b = _batch(rng, b=2)
+        b["masked_kspace"] = np.repeat(b["masked_kspace"], 2, axis=2)  # c=4
+        arrays = shard_batch(b, mesh)
+        assert arrays["masked_kspace"].re.sharding.spec == P("data", None, "coil")
+        assert arrays["mask"].sharding.spec == P("data")
+        assert arrays["target"].sharding.spec == P("data")
+
+    def test_coil_mesh_compile_has_no_involuntary_remat(self, rng, capfd):
+        """Compiling the full train step on the data x coil mesh emits zero
+        'Involuntary full rematerialization' SPMD warnings (the r3
+        MULTICHIP tail). The persistent compile cache is disabled for the
+        check so the partitioner actually runs."""
+        b = _batch(rng, b=2)
+        b["masked_kspace"] = np.repeat(b["masked_kspace"], 2, axis=2)  # c=4
+        mesh = make_mesh({"data": 2, "coil": 4})
+        model = build_model("varnet", "XF", coil_axis="coil", **TINY)
+        jax.clear_caches()
+        prev = jax.config.jax_enable_compilation_cache
+        jax.config.update("jax_enable_compilation_cache", False)
+        try:
+            with jax.set_mesh(mesh):
+                arrays = shard_batch(b, mesh)
+                state = create_train_state(
+                    model, arrays, make_optimizer(steps_per_epoch=1)
+                )
+                _, aux = make_train_step(donate=False)(state, arrays)
+                assert np.isfinite(float(aux["loss"]))
+        finally:
+            jax.config.update("jax_enable_compilation_cache", prev)
+        err = capfd.readouterr().err
+        assert "Involuntary full rematerialization" not in err, err[-2000:]
 
 
 class TestDistributedHelpers:
