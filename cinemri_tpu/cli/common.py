@@ -130,6 +130,22 @@ def build_parser(family: str) -> argparse.ArgumentParser:
         help="Keep only volumes whose phase-encode width is in this list "
              "(the reference's mri_data.py:258-261 filter)",
     )
+    # preprocess constants — the reference hardcodes these inside
+    # __getitem__ (mri_data.py:272-277); here they are flags so other
+    # acquisition protocols need zero code change
+    p.add_argument(
+        "--crop_shape", nargs=2, default=None, type=int, metavar=("NX", "NY"),
+        help="Preprocess center-crop; reference hardcodes (200, 200) "
+             "(mri_data.py:274). Auto-shrunk per volume when raw is smaller",
+    )
+    p.add_argument(
+        "--crop_target", nargs=2, default=None, type=int, metavar=("NX", "NY"),
+        help="Ground-truth target crop; reference hardcodes (180, 180)",
+    )
+    p.add_argument(
+        "--n_slices", default=None, type=int,
+        help="Temporal frames kept per volume; reference hardcodes 15",
+    )
     _bool = lambda v: str(v).lower() in ("1", "true", "yes")
     p.add_argument("--use_dataset_cache_file", default=True, type=_bool)
     p.add_argument("--combine_train_val", default=False, type=_bool)
@@ -232,6 +248,33 @@ def build_parser(family: str) -> argparse.ArgumentParser:
              "for maximum step throughput",
     )
     return p
+
+
+def _envelope_notices(family: str, args) -> None:
+    """One-line runtime notices when a run leaves the certified parity
+    envelope (PARITY.md "Parity envelope notes"). The reference's own habit
+    is assert-and-warn at configuration time (varnet_module.py:71-72);
+    these are warnings, not errors — every mode is functional, but only
+    certified configurations carry a measured ΔSSIM<0.001 claim."""
+    import warnings
+
+    if args.batch_size > 1:
+        warnings.warn(
+            f"batch_size={args.batch_size} is outside the certified parity "
+            "envelope: the SSIM loss takes data_range per-sample here but "
+            "per-batch in the reference (losses.py:34) — identical at "
+            "batch_size=1, deliberately different above it (PARITY.md)",
+            stacklevel=2,
+        )
+    if args.compress_coils:
+        warnings.warn(
+            f"--compress_coils {args.compress_coils} trades quality for "
+            "coil-linear speed and is outside the parity envelope by "
+            "construction; certify the chosen V per-acquisition with "
+            "bench/parity_head_to_head.py --compress_coils (BASELINE.md "
+            "'SVD coil compression quality')",
+            stacklevel=2,
+        )
 
 
 def _build_model_from_args(family: str, args) -> object:
@@ -393,6 +436,7 @@ def _train_test_main(family: str, argv, _scope) -> Dict:
             stacklevel=1,
         )
 
+    _envelope_notices(family, args)
     data_path = args.data_path or fetch_dir("data_path", args.path_config)
     save_path = fetch_dir("save_path", args.path_config)
     log_root = fetch_dir("log_path", args.path_config) / family / f"{family}_logs"
@@ -495,6 +539,18 @@ def _train_test_main(family: str, argv, _scope) -> Dict:
         transform_kwargs["maps_cache_dir"] = args.maps_cache_dir
     transform = TRANSFORMS[family](**transform_kwargs)
 
+    import dataclasses
+
+    from cinemri_tpu.data.dataset import PreprocessConfig
+
+    preprocess = PreprocessConfig()
+    if args.crop_shape:
+        preprocess = dataclasses.replace(preprocess, crop_shape=tuple(args.crop_shape))
+    if args.crop_target:
+        preprocess = dataclasses.replace(preprocess, crop_target=tuple(args.crop_target))
+    if args.n_slices:
+        preprocess = dataclasses.replace(preprocess, n_slices=args.n_slices)
+
     def make_loader(split, shuffle):
         is_train = split == "train"
         if is_train and args.combine_train_val:
@@ -513,6 +569,7 @@ def _train_test_main(family: str, argv, _scope) -> Dict:
                     else None
                 ),
                 num_cols=args.num_cols,
+                preprocess=preprocess,
                 maps_cache_dir=args.maps_cache_dir,
                 ram_cache_volumes=args.ram_cache_volumes,
             )
@@ -530,6 +587,7 @@ def _train_test_main(family: str, argv, _scope) -> Dict:
                 use_dataset_cache=args.use_dataset_cache_file,
                 dataset_cache_file=log_root / "dataset_cache.pkl",
                 num_cols=args.num_cols,
+                preprocess=preprocess,
                 maps_cache_dir=args.maps_cache_dir,
                 ram_cache_volumes=args.ram_cache_volumes,
             )
@@ -611,6 +669,7 @@ def _train_test_main(family: str, argv, _scope) -> Dict:
             inf_ds = SliceDataset(
                 data_path / "inference",
                 transform=transform,
+                preprocess=preprocess,
                 maps_cache_dir=args.maps_cache_dir,
             )
             runner = InferenceRunner(model, trainer.state.params, family, save_path)

@@ -406,7 +406,8 @@ class TestCineNetExportMode:
 class TestCoilCompressionCLI:
     def test_train_and_test_with_virtual_coils(self, workdir):
         """--compress_coils 2 on 3 physical coils: the full train/test flow
-        runs on virtual coils and produces sane metrics."""
+        runs on virtual coils and produces sane metrics — and warns that
+        compression is outside the parity envelope."""
         common = TINY_ARGS + [
             "--path_config", str(workdir / "dirs_path.yaml"),
             "--maps_cache_dir", str(workdir / "maps"),
@@ -415,10 +416,50 @@ class TestCoilCompressionCLI:
             "--dynamic_type", "XF",
             "--compress_coils", "2",
         ]
-        out = train_test_main("varnet", common + ["--mode", "train", "--save_checkpoint", "1"])
+        with pytest.warns(UserWarning, match="outside the parity envelope"):
+            out = train_test_main(
+                "varnet", common + ["--mode", "train", "--save_checkpoint", "1"]
+            )
         assert np.isfinite(out["history"][0]["train_loss"])
-        out = train_test_main(
-            "varnet", common + ["--mode", "test", "--load_model", "1", "--inference", "0"]
-        )
+        with pytest.warns(UserWarning, match="compress_coils"):
+            out = train_test_main(
+                "varnet",
+                common + ["--mode", "test", "--load_model", "1", "--inference", "0"],
+            )
         m = out["test_metrics"]
         assert 0 < m["ssim"] <= 1
+
+
+class TestEnvelopeNotices:
+    """Runtime notices when a run leaves the certified parity envelope
+    (PARITY.md) — the reference's own assert-and-warn habit
+    (varnet_module.py:71-72) applied to this framework's extended modes."""
+
+    def test_batch_size_above_one_warns(self, workdir):
+        args = TINY_ARGS + [
+            "--path_config", str(workdir / "dirs_path.yaml"),
+            "--maps_cache_dir", str(workdir / "maps"),
+            "--chans", "4",
+            "--sens_chans", "4", "--sens_pools", "2", "--pools", "2",
+            "--mode", "train",
+        ]
+        args[args.index("--batch_size") + 1] = "2"
+        with pytest.warns(UserWarning, match="data_range per-sample"):
+            out = train_test_main("varnet", args)
+        assert np.isfinite(out["history"][0]["train_loss"])
+
+    def test_certified_configuration_does_not_warn(self, workdir, recwarn):
+        """The shipping defaults (batch 1, no compression, f32) run without
+        envelope notices."""
+        import warnings
+
+        args = TINY_ARGS + [
+            "--path_config", str(workdir / "dirs_path.yaml"),
+            "--maps_cache_dir", str(workdir / "maps"),
+            "--chans", "4",
+            "--sens_chans", "4", "--sens_pools", "2", "--pools", "2",
+            "--mode", "train",
+        ]
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", UserWarning)
+            train_test_main("varnet", args)
