@@ -1,0 +1,158 @@
+"""Op-level profile of one model's forward (or train step) on the chip.
+
+Packages the round-3 analysis method (instrument.trace -> opstats op
+aggregation) as a script: where does the wall-clock of a named variant go,
+and how does it compare to the HBM speed-of-light for the program's
+memory traffic (compiled cost_analysis bytes / chip HBM bandwidth). This
+is the harness behind the perf-tail write-ups in BASELINE.md ("Perf-tail
+profiles"); the reference has no profiler at all (SURVEY §5).
+
+Prints one JSON line. Usage:
+  python bench/profile_forward.py --model cinenet-CRNN [--packed] [--train]
+"""
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# chip HBM bandwidth for the speed-of-light bound, bytes/sec
+_HBM_BW = {"v5 lite": 819e9, "v5e": 819e9, "v5p": 2765e9, "v4": 1228e9,
+           "v6": 1640e9, "trillium": 1640e9}
+
+CONFIGS = {
+    "varnet": dict(num_cascades=10, sens_chans=8, sens_pools=3, chans=16, pools=3),
+    "cinenet": dict(num_cascades=10, cg_iters=6, chans=16, pools=3),
+    "xpdnet": dict(num_cascades=9, sens_chans=8, sens_pools=3, n_scales=3,
+                   n_filters_per_scale=(16, 32, 64), n_primal=5),
+}
+CRNN_CONFIGS = {
+    "varnet": dict(num_cascades=10, sens_chans=8, sens_pools=3, chans=16),
+    "cinenet": dict(num_cascades=10, cg_iters=6, chans=16),
+    "xpdnet": dict(num_cascades=9, sens_chans=8, sens_pools=3, chans=18, n_primal=5),
+}
+
+
+def main(model_name: str, packed: bool = False, bf16: bool = False,
+         train: bool = False, runs: int = 20, top_n: int = 12):
+    import jax
+
+    from cinemri_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    import jax.numpy as jnp
+
+    from cinemri_tpu.data.masks import RandomMask
+    from cinemri_tpu.instrument import trace
+    from cinemri_tpu.instrument.opstats import durations_by_kind, top_ops
+    from cinemri_tpu.models import build_model
+    from cinemri_tpu.ops.cplx import from_complex
+
+    T, C, H, W = 15, 10, 200, 200
+    rng = np.random.default_rng(0)
+    k = (
+        rng.standard_normal((1, T, C, H, W))
+        + 1j * rng.standard_normal((1, T, C, H, W))
+    ).astype(np.complex64)
+    mask_np = RandomMask([10], [4])(T, H, seed=0)[None]
+    km = from_complex(k * mask_np)
+    mask = jnp.asarray(mask_np.astype(np.float32))
+
+    family, dyn = model_name.split("-")
+    kwargs = dict((CRNN_CONFIGS if dyn == "CRNN" else CONFIGS)[family])
+    if packed:
+        kwargs["packed"] = True
+    if bf16:
+        kwargs["bf16"] = True
+    model = build_model(family, dyn, **kwargs)
+
+    if family == "cinenet":  # external maps (cinenet.py:154-156)
+        s = (
+            rng.standard_normal((1, 1, C, H, W))
+            + 1j * rng.standard_normal((1, 1, C, H, W))
+        ).astype(np.complex64)
+        s /= np.sqrt((np.abs(s) ** 2).sum(2, keepdims=True))
+        args = (km, mask, from_complex(s))
+    else:
+        args = (km, mask)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), *args)
+
+    if train:
+        import optax
+
+        from cinemri_tpu.ops.ssim import ssim_loss
+
+        tgt = jnp.asarray(rng.random((1, T, H, W)), jnp.float32)
+        opt = optax.adam(1e-4)
+        opt_state = opt.init(params)
+
+        def step(p, s, *a):
+            def loss_fn(pp):
+                return ssim_loss(model.apply(pp, *a), tgt)
+
+            loss, g = jax.value_and_grad(loss_fn)(p)
+            updates, s = opt.update(g, s, p)
+            return optax.apply_updates(p, updates), s, loss
+
+        jitted = jax.jit(step)
+        run = lambda: jitted(params, opt_state, *args)[2].block_until_ready()
+        lowered = jitted.lower(params, opt_state, *args)
+    else:
+        jitted = jax.jit(model.apply)
+        run = lambda: jitted(params, *args).block_until_ready()
+        lowered = jitted.lower(params, *args)
+
+    run()  # compile + warmup
+    run()
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        run()
+    wall_ms = (time.perf_counter() - t0) / runs * 1e3
+
+    tdir = Path(tempfile.mkdtemp(prefix="profile_"))
+    with trace(tdir):
+        for _ in range(runs):
+            run()
+
+    cost = lowered.compile().cost_analysis()
+    bytes_accessed = float(cost.get("bytes accessed", 0.0))
+    flops = float(cost.get("flops", 0.0))
+    kind = jax.devices()[0].device_kind.lower()
+    bw = next((v for key, v in _HBM_BW.items() if key in kind), None)
+    sol_ms = bytes_accessed / bw * 1e3 if bw and bytes_accessed else None
+
+    kinds = durations_by_kind(tdir, runs=runs)
+    ops = top_ops(tdir, runs=runs, n=top_n)
+    device_ms = sum(kinds.values())
+    print(json.dumps({
+        "model": model_name + ("-packed" if packed else "") + ("-bf16" if bf16 else ""),
+        "mode": "train_step" if train else "forward",
+        "wall_ms": round(wall_ms, 2),
+        "device_ms": round(device_ms, 2),
+        "fps": round(T / (wall_ms / 1e3), 1),
+        "bytes_accessed_mb": round(bytes_accessed / 1e6, 1),
+        "flops_g": round(flops / 1e9, 2),
+        "hbm_speed_of_light_ms": round(sol_ms, 2) if sol_ms else None,
+        "sol_fraction": round(sol_ms / device_ms, 3) if sol_ms and device_ms else None,
+        "by_kind_ms": {k_: round(v, 3) for k_, v in
+                       sorted(kinds.items(), key=lambda kv: -kv[1])},
+        "top_ops_ms": [(n_, round(ms, 3)) for n_, ms in ops],
+    }))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="cinenet-CRNN")
+    ap.add_argument("--packed", action="store_true")
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--train", action="store_true")
+    ap.add_argument("--runs", default=20, type=int)
+    ap.add_argument("--top_n", default=12, type=int)
+    a = ap.parse_args()
+    main(a.model, a.packed, a.bf16, a.train, a.runs, a.top_n)

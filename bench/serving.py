@@ -53,25 +53,46 @@ def main(model_name: str = "varnet-XF", packed: bool = True,
     kwargs = {
         "varnet": dict(num_cascades=10, sens_chans=8, sens_pools=3, chans=16, pools=3),
         "cinenet": dict(num_cascades=10, cg_iters=6, chans=16, pools=3),
+        # reference defaults, train_test_xpdnet.py set_defaults
+        "xpdnet": dict(num_cascades=9, sens_chans=8, sens_pools=3, n_scales=3,
+                       n_filters_per_scale=(16, 32, 64), n_primal=5),
     }[family]
     if packed:
         kwargs["packed"] = True
     model = build_model(family, dyn, **kwargs)
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), km, mask)
+
+    # CineNet takes externally-computed maps (cinenet.py:154-156); serve.py
+    # exports the 5-arg (kre, kim, mask, sre, sim) signature for it. RSS-
+    # normalized random maps — compute-identical to ESPIRiT output shapes.
+    if family == "cinenet":
+        s = (
+            rng.standard_normal((1, 1, C, H, W))
+            + 1j * rng.standard_normal((1, 1, C, H, W))
+        ).astype(np.complex64)
+        s /= np.sqrt((np.abs(s) ** 2).sum(2, keepdims=True))
+        sm = from_complex(s)
+        model_args = (km, mask, sm)
+        served_args = (km.re, km.im, mask, sm.re, sm.im)
+        export_kw = {"sens_maps": sm}
+    else:
+        model_args = (km, mask)
+        served_args = (km.re, km.im, mask)
+        export_kw = {}
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), *model_args)
 
     # in-process reference timing
-    fwd_sum = jax.jit(lambda p, kk, mm: jnp.sum(model.apply(p, kk, mm)))
-    float(fwd_sum(params, km, mask))
+    fwd_sum = jax.jit(lambda p, *a: jnp.sum(model.apply(p, *a)))
+    float(fwd_sum(params, *model_args))
     n = 20
     t0 = time.perf_counter()
-    vals = [fwd_sum(params, km, mask) for _ in range(n)]
+    vals = [fwd_sum(params, *model_args) for _ in range(n)]
     float(vals[-1])
     inproc_s = (time.perf_counter() - t0) / n
 
     # export
     path = Path(tempfile.mkdtemp(prefix="serve_")) / "model.stablehlo"
     t0 = time.perf_counter()
-    blob = export_model(model, params, km, mask, path=path)
+    blob = export_model(model, params, km, mask, path=path, **export_kw)
     export_s = time.perf_counter() - t0
 
     # load + first call + steady state (fresh callable, cold program)
@@ -79,16 +100,14 @@ def main(model_name: str = "varnet-XF", packed: bool = True,
     fn = load_exported(path)
     load_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    out = fn(km.re, km.im, mask)
+    out = fn(*served_args)
     out = jax.tree.leaves(out)[0]
     float(jnp.sum(out))
     first_call_s = time.perf_counter() - t0
-    served_sum = jax.jit(lambda kre, kim, mm: jnp.sum(
-        jax.tree.leaves(fn(kre, kim, mm))[0]
-    ))
-    float(served_sum(km.re, km.im, mask))
+    served_sum = jax.jit(lambda *a: jnp.sum(jax.tree.leaves(fn(*a))[0]))
+    float(served_sum(*served_args))
     t0 = time.perf_counter()
-    vals = [served_sum(km.re, km.im, mask) for _ in range(n)]
+    vals = [served_sum(*served_args) for _ in range(n)]
     float(vals[-1])
     served_s = (time.perf_counter() - t0) / n
 

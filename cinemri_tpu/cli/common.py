@@ -97,9 +97,19 @@ def build_parser(family: str) -> argparse.ArgumentParser:
     p.add_argument("--bf16", default=0, choices=(0, 1), type=int,
                    help="bfloat16 denoiser activations (params/optimizer/"
                         "DC/loss stay f32) — ~halves activation HBM "
-                        "traffic; NOT bit-exact, quality certified by the "
-                        "bf16 parity rows in BASELINE.md "
-                        "(varnet/cinenet families)")
+                        "traffic; NOT bit-exact, quality certified at 150 "
+                        "epochs for all three families by the bf16 parity "
+                        "rows in BASELINE.md (xpdnet via --norm_buffers "
+                        "auto-on)")
+    if family == "xpdnet":
+        p.add_argument(
+            "--norm_buffers", default=-1, choices=(-1, 0, 1), type=int,
+            help="per-channel normalization of the MWCNN buffer inputs "
+                 "(XPDNetBlock._apply_net) — -1 = auto: on exactly under "
+                 "--bf16, the certified combination (BASELINE.md 'bf16 "
+                 "activation mode'). Forcing 0/1 selects a DIFFERENT "
+                 "trained function (not a rounding variation); use only "
+                 "to eval a checkpoint trained with the other setting")
 
     # mask args (train_test_varnet.py:208-229)
     p.add_argument("--mask_type", default="random", choices=("random", "equispaced"))
@@ -275,6 +285,22 @@ def _envelope_notices(family: str, args) -> None:
             "'SVD coil compression quality')",
             stacklevel=2,
         )
+    if (
+        family == "xpdnet"
+        and getattr(args, "norm_buffers", -1) != -1
+        and bool(args.norm_buffers) != bool(args.bf16)
+        and args.dynamic_type != "CRNN"
+    ):
+        warnings.warn(
+            f"--norm_buffers {args.norm_buffers} overrides the certified "
+            f"pairing (normalization on exactly under --bf16): bf16 on raw "
+            "buffers deviates beyond the parity budget, and f32+norm is a "
+            "function change vs the reference's raw-buffer semantics "
+            "(xpdnet.py:474-489) — intended only for evaluating a "
+            "checkpoint trained with this setting (BASELINE.md 'bf16 "
+            "activation mode')",
+            stacklevel=2,
+        )
 
 
 def _build_model_from_args(family: str, args) -> object:
@@ -310,7 +336,9 @@ def _build_model_from_args(family: str, args) -> object:
                       n_first_convs=args.n_first_convs,
                       first_conv_n_filters=args.first_conv_n_filters, res=args.res,
                       primal_only=args.primal_only, n_primal=args.n_primal,
-                      n_dual=args.n_dual, weight_sharing=args.weight_sharing)
+                      n_dual=args.n_dual, weight_sharing=args.weight_sharing,
+                      norm_buffers=(None if args.norm_buffers == -1
+                                    else bool(args.norm_buffers)))
         )
     kwargs["kernel_dc"] = bool(args.kernel_dc)
     if getattr(args, "coil_devices", 1) > 1:
@@ -348,6 +376,15 @@ def config_fingerprint(family: str, args) -> str:
         "dynamic_type", "weight_sharing", "compress_coils",
     ]
     src = [(k, getattr(args, k)) for k in keys]
+    if family == "xpdnet" and args.dynamic_type != "CRNN":
+        # norm_buffers selects a different trained function on the same
+        # tree (XPDNetBlock._apply_net) — scope by the resolved value so
+        # raw-buffer and normalized-buffer runs never share a step dir
+        resolved = (
+            bool(args.bf16) if args.norm_buffers == -1
+            else bool(args.norm_buffers)
+        )
+        src.append(("norm_buffers", resolved))
     return hashlib.sha1(repr(src).encode()).hexdigest()[:8]
 
 

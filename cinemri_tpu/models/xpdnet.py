@@ -119,6 +119,7 @@ class XPDNetBlock(nn.Module):
     coil_axis: str = ""  # tensor-parallel mesh axis for the coil dim
     packed: bool = False  # space-to-depth MWCNN (mwcnn.MWCNN.packed)
     dtype: jnp.dtype = jnp.float32  # denoiser activation dtype
+    norm_buffers: bool = False  # per-channel buffer normalization (bf16 default)
 
     def _mwcnn(self, name: str) -> MWCNN:
         return MWCNN(
@@ -136,7 +137,37 @@ class XPDNetBlock(nn.Module):
         )
 
     def _apply_net(self, planes: jnp.ndarray, name: str) -> jnp.ndarray:
-        """pad -> MWCNN -> unpad on (n, a, b, ch) planes (xpdnet.py:474-489)."""
+        """pad -> MWCNN -> unpad on (n, a, b, ch) planes (xpdnet.py:474-489).
+
+        With ``norm_buffers`` (the bf16 default) the buffer planes are
+        first normalized per channel with f32 stats and denormalized after
+        — the NormUnet scale-handling recipe (norm_unet.py:59-74) that
+        certifies the other families. The reference feeds MWCNN RAW buffers
+        (xpdnet.py:474-489), whose large common-mode component otherwise
+        dominates the bf16 (8-bit mantissa) rounding and drowns the
+        per-cascade correction signal; f32 runs keep the reference's
+        raw-buffer semantics untouched by default. Note this changes the
+        function computed (not a pure-rounding variation): checkpoints are
+        only portable between runs with the same ``norm_buffers`` setting.
+        Certified at the reference's full 150-epoch protocol on two seed
+        sets — on the chip bf16+norm converges to exactly the framework's
+        own f32 results (ΔSSIM vs torch +0.00069 CPU / +0.00033 chip
+        seed set 2; BASELINE.md "XPDNet bf16 (round 4)").
+        """
+        if self.norm_buffers:
+            from cinemri_tpu.models.denoisers.norm_unet import _norm_groups
+
+            ch = planes.shape[-1] // 2  # [re x (n_primal+1), im x (n_primal+1)]
+            n_out = ch - 1  # n_primal
+            r, mean, std = _norm_groups(planes)  # per-(sample, channel) f32
+            padded, pad = pad_for_mwcnn(r, self.n_scales, axes=(1, 2))
+            out = self._mwcnn(name)(padded)
+            out = unpad_from_mwcnn(out, pad, axes=(1, 2))
+            # output channels are [re(buf_0..n_primal-1), im(...)]: denorm
+            # with the matching input-slot stats (the bwd channel at index
+            # n_primal of each group has no output twin)
+            idx = jnp.asarray(list(range(n_out)) + list(range(ch, ch + n_out)))
+            return out * std[..., idx] + mean[..., idx]
         padded, pad = pad_for_mwcnn(planes, self.n_scales, axes=(1, 2))
         out = self._mwcnn(name)(padded)
         return unpad_from_mwcnn(out, pad, axes=(1, 2))
@@ -261,6 +292,10 @@ class XPDNet(nn.Module):
     kernel_dc: bool = True  # see VarNet.kernel_dc (primal_only mode only)
     packed: bool = False  # space-to-depth MWCNN conv stacks (exact)
     bf16: bool = False  # bfloat16 denoiser activations (see VarNet.bf16)
+    # Per-channel MWCNN buffer normalization (XPDNetBlock._apply_net).
+    # None -> on exactly when bf16 is on (the certified combination);
+    # force True/False to eval a checkpoint trained with the other setting.
+    norm_buffers: bool | None = None
 
     @nn.compact
     def __call__(self, masked_kspace: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -309,6 +344,9 @@ class XPDNet(nn.Module):
             coil_axis=self.coil_axis,
             packed=self.packed,
             dtype=jnp.bfloat16 if self.bf16 else jnp.float32,
+            norm_buffers=(
+                self.bf16 if self.norm_buffers is None else self.norm_buffers
+            ),
             name="cascades",
         )(
             (image_buffer, kspace_buffer),

@@ -64,6 +64,21 @@ class TestParser:
             assert args.n_filters_per_scale == [16, 32, 64]
             assert args.primal_only is True
 
+    def test_fingerprint_scopes_xpdnet_norm_buffers(self):
+        """norm_buffers selects a different trained function on the same
+        param tree, so it must scope the checkpoint dir; bf16 elsewhere is
+        a pure rounding variation on the SAME function and must not."""
+        from cinemri_tpu.cli.common import config_fingerprint
+
+        fp = lambda fam, argv: config_fingerprint(
+            fam, build_parser(fam).parse_args(argv)
+        )
+        assert fp("xpdnet", []) != fp("xpdnet", ["--bf16", "1"])  # auto-on
+        assert fp("xpdnet", ["--bf16", "1"]) == fp("xpdnet", ["--norm_buffers", "1"])
+        crnn = ["--dynamic_type", "CRNN"]
+        assert fp("xpdnet", crnn) == fp("xpdnet", crnn + ["--bf16", "1"])
+        assert fp("varnet", []) == fp("varnet", ["--bf16", "1"])
+
 
 class TestTrainTestFlow:
     def test_varnet_train_then_test_with_inference(self, workdir):
@@ -446,6 +461,26 @@ class TestEnvelopeNotices:
         args[args.index("--batch_size") + 1] = "2"
         with pytest.warns(UserWarning, match="data_range per-sample"):
             out = train_test_main("varnet", args)
+        assert np.isfinite(out["history"][0]["train_loss"])
+
+    def test_xpdnet_norm_buffers_override_warns(self, workdir):
+        """Forcing --norm_buffers against its certified pairing (on exactly
+        under --bf16) is a function change and warns at configuration
+        time; the auto default stays silent (see
+        test_certified_configuration_does_not_warn)."""
+        args = TINY_ARGS + [
+            "--path_config", str(workdir / "dirs_path.yaml"),
+            "--maps_cache_dir", str(workdir / "maps"),
+            "--sens_chans", "4", "--sens_pools", "2",
+            "--n_scales", "2", "--first_conv_n_filters", "4",
+            "--n_filters_per_scale", "4", "8",
+            "--n_primal", "2",
+            "--dynamic_type", "XF",
+            "--mode", "train",
+            "--norm_buffers", "1",
+        ]
+        with pytest.warns(UserWarning, match="certified pairing"):
+            out = train_test_main("xpdnet", args)
         assert np.isfinite(out["history"][0]["train_loss"])
 
     def test_certified_configuration_does_not_warn(self, workdir, recwarn):

@@ -521,6 +521,13 @@ class TestBf16Mode:
     ])
     def test_bf16_close_and_f32_grads(self, family, dyn, batch):
         kwargs = dict(CRNN_SMALL[family] if dyn == "CRNN" else SMALL[family])
+        # xpdnet's bf16 mode normalizes the MWCNN buffer inputs (the fix
+        # that certified it at 150 epochs, BASELINE.md) — a different
+        # parameterization, not a rounding variation; compare against an
+        # f32 model with the same norm_buffers setting so the remaining
+        # delta is pure bf16 rounding.
+        if family == "xpdnet" and dyn != "CRNN":
+            kwargs["norm_buffers"] = True
         plain = build_model(family, dyn, **kwargs)
         half = build_model(family, dyn, bf16=True, **kwargs)
         params, out_plain = _apply(plain, family, batch)
@@ -528,11 +535,7 @@ class TestBf16Mode:
         a, b = np.asarray(out_plain), np.asarray(out_half)
         assert b.dtype == np.float32
         s = np.abs(a).max() + 1e-12
-        # xpdnet runs raw unnormalized buffers through MWCNN (no NormUnet
-        # wrapper), so bf16 deviates more there; its bf16 mode is offered
-        # but outside the certified-quality envelope (BASELINE.md)
-        tol = 0.15 if family == "xpdnet" else 0.05
-        np.testing.assert_allclose(a / s, b / s, atol=tol)
+        np.testing.assert_allclose(a / s, b / s, atol=0.05)
         assert np.abs(a - b).mean() / s < 1e-2  # close on average
 
         k, m, sens = batch
@@ -540,6 +543,35 @@ class TestBf16Mode:
         g = jax.grad(lambda p: jnp.sum(half.apply(p, *args)))(params)
         for leaf in jax.tree.leaves(g):
             assert leaf.dtype == jnp.float32
+
+    def test_xpdnet_norm_buffers_default_resolution(self, batch):
+        """norm_buffers=None resolves to the bf16 flag: f32 default keeps
+        the reference's raw-buffer semantics exactly; bf16 default equals
+        an explicit norm_buffers=True model (the certified combination)."""
+        kwargs = dict(SMALL["xpdnet"])
+        k, m, _ = batch
+
+        plain = build_model("xpdnet", "XF", **kwargs)
+        raw = build_model("xpdnet", "XF", norm_buffers=False, **kwargs)
+        params, out_plain = _apply(plain, "xpdnet", batch)
+        _, out_raw = _apply(raw, "xpdnet", batch, params)
+        np.testing.assert_array_equal(np.asarray(out_plain), np.asarray(out_raw))
+
+        half = build_model("xpdnet", "XF", bf16=True, **kwargs)
+        half_norm = build_model(
+            "xpdnet", "XF", bf16=True, norm_buffers=True, **kwargs
+        )
+        _, out_half = _apply(half, "xpdnet", batch, params)
+        _, out_half_norm = _apply(half_norm, "xpdnet", batch, params)
+        np.testing.assert_array_equal(
+            np.asarray(out_half), np.asarray(out_half_norm)
+        )
+
+        # and the normalization is load-bearing: structurally different
+        # from the raw-buffer function at the same params
+        normed = build_model("xpdnet", "XF", norm_buffers=True, **kwargs)
+        _, out_normed = _apply(normed, "xpdnet", batch, params)
+        assert np.abs(np.asarray(out_normed) - np.asarray(out_plain)).max() > 1e-4
 
 
 class TestNormalBackendPallas:
