@@ -202,6 +202,10 @@ class BCRNN(nn.Module):
     kernel_size: int = 3
     dtype: jnp.dtype = jnp.float32
     block: tuple = ()  # packed (h, w) block; x/hidden_iteration arrive packed
+    # lax.scan unroll factor for the time sweep: unrolled steps let XLA
+    # hoist the loop-invariant packed-kernel relayout copies out of the
+    # body (measured on-chip, BASELINE.md "Perf-tail profiles")
+    unroll: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, hidden_iteration: jnp.ndarray) -> jnp.ndarray:
@@ -209,17 +213,26 @@ class BCRNN(nn.Module):
         B = 1
         for bb in self.block:
             B *= bb
-        h0 = jnp.zeros((b, hq, wq, self.hidden_size * B), self.dtype)
+        h0 = jnp.zeros((2 * b, hq, wq, self.hidden_size * B), self.dtype)
         x = x.astype(self.dtype)
         hidden_iteration = hidden_iteration.astype(self.dtype)
+        # Both temporal directions ride ONE scan, stacked on the batch axis
+        # (the reference runs one shared cell each way,
+        # recurrent_varnet.py:236-256): per-sample conv results are
+        # direction-independent, so this is the same math with half the
+        # sequential scan steps and twice the per-step conv batch — the
+        # CRNN tail rows are dispatch-bound, not FLOP-bound (BASELINE.md
+        # "Perf-tail profiles").
+        xx = jnp.concatenate([x, x[::-1]], axis=1)  # (t, 2b, hq, wq, ch)
+        hh = jnp.concatenate([hidden_iteration, hidden_iteration[::-1]], axis=1)
         cell = nn.scan(
             CRNNCell,
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=0,
             out_axes=0,
+            unroll=self.unroll,
         )(hidden_size=self.hidden_size, kernel_size=self.kernel_size,
           dtype=self.dtype, block=self.block, name="cell")
-        _, out_f = cell(h0, (x, hidden_iteration))
-        _, out_b = cell(h0, (x[::-1], hidden_iteration[::-1]))
-        return out_f + out_b[::-1]
+        _, out = cell(h0, (xx, hh))
+        return out[:, :b] + out[:, b:][::-1]
