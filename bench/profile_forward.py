@@ -101,24 +101,27 @@ def main(model_name: str, packed: bool = False, bf16: bool = False,
             return optax.apply_updates(p, updates), s, loss
 
         jitted = jax.jit(step)
-        run = lambda: jitted(params, opt_state, *args)[2].block_until_ready()
+        # time by queueing and syncing on the on-device loss scalar:
+        # block_until_ready is unreliable on remote-dispatch TPU backends
+        # (same recipe as bench.py)
+        run = lambda: jitted(params, opt_state, *args)[2]
         lowered = jitted.lower(params, opt_state, *args)
     else:
-        jitted = jax.jit(model.apply)
-        run = lambda: jitted(params, *args).block_until_ready()
-        lowered = jitted.lower(params, *args)
+        jit_sum = jax.jit(lambda p, *a: jnp.sum(model.apply(p, *a)))
+        run = lambda: jit_sum(params, *args)
+        lowered = jax.jit(model.apply).lower(params, *args)
 
-    run()  # compile + warmup
-    run()
+    float(run())  # compile + warmup
+    float(run())
     t0 = time.perf_counter()
-    for _ in range(runs):
-        run()
+    vals = [run() for _ in range(runs)]
+    float(vals[-1])  # one sync: all queued executions are done
     wall_ms = (time.perf_counter() - t0) / runs * 1e3
 
     tdir = Path(tempfile.mkdtemp(prefix="profile_"))
     with trace(tdir):
-        for _ in range(runs):
-            run()
+        vals = [run() for _ in range(runs)]
+        float(vals[-1])
 
     cost = lowered.compile().cost_analysis()
     bytes_accessed = float(cost.get("bytes accessed", 0.0))
@@ -129,17 +132,27 @@ def main(model_name: str, packed: bool = False, bf16: bool = False,
 
     kinds = durations_by_kind(tdir, runs=runs)
     ops = top_ops(tdir, runs=runs, n=top_n)
-    device_ms = sum(kinds.values())
+    # attributed_ms is a LOWER BOUND on device time: the xplane trace can
+    # miss op kinds (e.g. custom-call matmuls report 0) and drop events
+    # under buffer pressure. coverage = attributed/wall says how much of
+    # the program the per-kind table explains; treat by_kind_ms as
+    # indicative, and wall_ms (queued, scalar-synced) as ground truth.
+    attributed_ms = sum(kinds.values())
+    coverage = attributed_ms / wall_ms if wall_ms else None
     print(json.dumps({
         "model": model_name + ("-packed" if packed else "") + ("-bf16" if bf16 else ""),
         "mode": "train_step" if train else "forward",
         "wall_ms": round(wall_ms, 2),
-        "device_ms": round(device_ms, 2),
+        "attributed_ms": round(attributed_ms, 2),
+        "attribution_coverage": round(coverage, 3) if coverage else None,
         "fps": round(T / (wall_ms / 1e3), 1),
         "bytes_accessed_mb": round(bytes_accessed / 1e6, 1),
         "flops_g": round(flops / 1e9, 2),
         "hbm_speed_of_light_ms": round(sol_ms, 2) if sol_ms else None,
-        "sol_fraction": round(sol_ms / device_ms, 3) if sol_ms and device_ms else None,
+        "sol_fraction_of_wall": round(sol_ms / wall_ms, 3) if sol_ms and wall_ms else None,
+        "note": (None if coverage is None or coverage >= 0.85 else
+                 "trace attribution covers <85% of wall; per-kind numbers "
+                 "are lower bounds"),
         "by_kind_ms": {k_: round(v, 3) for k_, v in
                        sorted(kinds.items(), key=lambda kv: -kv[1])},
         "top_ops_ms": [(n_, round(ms, 3)) for n_, ms in ops],
