@@ -40,7 +40,8 @@ CRNN_CONFIGS = {
 
 
 def main(model_name: str, packed: bool = False, bf16: bool = False,
-         train: bool = False, runs: int = 20, top_n: int = 12):
+         train: bool = False, runs: int = 20, top_n: int = 12,
+         shape: tuple = (15, 10, 200, 200)):
     import jax
 
     from cinemri_tpu.utils.compile_cache import enable_compile_cache
@@ -54,13 +55,15 @@ def main(model_name: str, packed: bool = False, bf16: bool = False,
     from cinemri_tpu.models import build_model
     from cinemri_tpu.ops.cplx import from_complex
 
-    T, C, H, W = 15, 10, 200, 200
+    T, C, H, W = shape
     rng = np.random.default_rng(0)
     k = (
         rng.standard_normal((1, T, C, H, W))
         + 1j * rng.standard_normal((1, T, C, H, W))
     ).astype(np.complex64)
-    mask_np = RandomMask([10], [4])(T, H, seed=0)[None]
+    # sub-protocol H can't fit the protocol's 10 center lines @4x
+    center, accel = ((10, 4) if H >= 64 else (4, 2))
+    mask_np = RandomMask([center], [accel])(T, H, seed=0)[None]
     km = from_complex(k * mask_np)
     mask = jnp.asarray(mask_np.astype(np.float32))
 
@@ -167,5 +170,8 @@ if __name__ == "__main__":
     ap.add_argument("--train", action="store_true")
     ap.add_argument("--runs", default=20, type=int)
     ap.add_argument("--top_n", default=12, type=int)
+    ap.add_argument("--shape", nargs=4, type=int, default=(15, 10, 200, 200),
+                    metavar=("T", "C", "H", "W"),
+                    help="volume shape; default = protocol scale")
     a = ap.parse_args()
-    main(a.model, a.packed, a.bf16, a.train, a.runs, a.top_n)
+    main(a.model, a.packed, a.bf16, a.train, a.runs, a.top_n, tuple(a.shape))

@@ -67,3 +67,28 @@ class TestOpStats:
         assert isinstance(by_kind, dict)
         top = opstats.top_ops(tmp_path, n=5)
         assert all(isinstance(ms, float) for _, ms in top)
+
+
+class TestProfileForwardHarness:
+    def test_smoke_tiny_shape_json_contract(self, capsys):
+        """bench/profile_forward runs end-to-end on CPU at a tiny shape and
+        prints one JSON line with the documented fields."""
+        pytest.importorskip("tensorflow")
+        import json
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "bench"))
+        import profile_forward
+
+        profile_forward.main("varnet-2D", runs=2, shape=(2, 2, 16, 16))
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        rec = json.loads(out)
+        assert rec["model"] == "varnet-2D"
+        assert rec["mode"] == "forward"
+        assert rec["wall_ms"] > 0 and rec["fps"] > 0
+        # attribution is a lower bound and may be empty off-chip, but the
+        # fields must exist and be consistent
+        assert "attributed_ms" in rec and "by_kind_ms" in rec
+        if rec["attribution_coverage"] is not None:
+            assert rec["attributed_ms"] <= rec["wall_ms"] * 1.5
