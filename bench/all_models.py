@@ -15,6 +15,8 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from _protocol import model_kwargs  # noqa: E402
+
 
 def _mfu(jitted, args, seconds: float):
     """FLOPs of the compiled program / wall time, vs the chip's bf16 peak."""
@@ -69,31 +71,18 @@ def main(full: bool = False, packed: bool = False, only: str = "",
     sens_np /= np.sqrt((np.abs(sens_np) ** 2).sum(2, keepdims=True))
     sens = from_complex(sens_np)
 
-    configs = [
-        ("varnet", "XF", dict(num_cascades=10, sens_chans=8, sens_pools=3, chans=16, pools=3)),
-        ("cinenet", "XF", dict(num_cascades=10, cg_iters=6, chans=16, pools=3)),
-        ("xpdnet", "XF", dict(num_cascades=9, sens_chans=8, sens_pools=3, n_scales=3,
-                              n_filters_per_scale=(16, 32, 64), n_primal=5)),
-        ("varnet", "CRNN", dict(num_cascades=10, sens_chans=8, sens_pools=3, chans=16)),
-    ]
+    # reference-default kwargs live in bench/_protocol.py (single source)
+    configs = [("varnet", "XF"), ("cinenet", "XF"), ("xpdnet", "XF"),
+               ("varnet", "CRNN")]
     if full or only:
-        configs += [
-            ("varnet", "2D", dict(num_cascades=10, sens_chans=8, sens_pools=3, chans=16, pools=3)),
-            ("varnet", "3D", dict(num_cascades=10, sens_chans=8, sens_pools=3, chans=16, pools=3)),
-            ("varnet", "XT", dict(num_cascades=10, sens_chans=8, sens_pools=3, chans=16, pools=3)),
-            ("cinenet", "CRNN", dict(num_cascades=10, cg_iters=6, chans=16)),
-            ("xpdnet", "CRNN", dict(num_cascades=9, sens_chans=8, sens_pools=3, chans=18, n_primal=5)),
-            ("cinenet", "2D", dict(num_cascades=10, cg_iters=6, chans=16, pools=3)),
-            ("cinenet", "3D", dict(num_cascades=10, cg_iters=6, chans=16, pools=3)),
-            ("xpdnet", "2D", dict(num_cascades=9, sens_chans=8, sens_pools=3, n_scales=3,
-                                  n_filters_per_scale=(16, 32, 64), n_primal=5)),
-            ("cinenet", "XT", dict(num_cascades=10, cg_iters=6, chans=16, pools=3)),
-            ("xpdnet", "XT", dict(num_cascades=9, sens_chans=8, sens_pools=3, n_scales=3,
-                                  n_filters_per_scale=(16, 32, 64), n_primal=5)),
-        ]
+        configs += [("varnet", "2D"), ("varnet", "3D"), ("varnet", "XT"),
+                    ("cinenet", "CRNN"), ("xpdnet", "CRNN"),
+                    ("cinenet", "2D"), ("cinenet", "3D"), ("xpdnet", "2D"),
+                    ("cinenet", "XT"), ("xpdnet", "XT")]
 
     wanted = {s.strip() for s in only.split(",") if s.strip()}
-    for family, dyn, kwargs in configs:
+    for family, dyn in configs:
+        kwargs = model_kwargs(family, dyn)
         name = f"{family}-{dyn}"
         if wanted and name not in wanted:
             continue

@@ -26,17 +26,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 _HBM_BW = {"v5 lite": 819e9, "v5e": 819e9, "v5p": 2765e9, "v4": 1228e9,
            "v6": 1640e9, "trillium": 1640e9}
 
-CONFIGS = {
-    "varnet": dict(num_cascades=10, sens_chans=8, sens_pools=3, chans=16, pools=3),
-    "cinenet": dict(num_cascades=10, cg_iters=6, chans=16, pools=3),
-    "xpdnet": dict(num_cascades=9, sens_chans=8, sens_pools=3, n_scales=3,
-                   n_filters_per_scale=(16, 32, 64), n_primal=5),
-}
-CRNN_CONFIGS = {
-    "varnet": dict(num_cascades=10, sens_chans=8, sens_pools=3, chans=16),
-    "cinenet": dict(num_cascades=10, cg_iters=6, chans=16),
-    "xpdnet": dict(num_cascades=9, sens_chans=8, sens_pools=3, chans=18, n_primal=5),
-}
+from _protocol import model_kwargs, protocol_inputs, rss_normalized_maps
 
 
 def main(model_name: str, packed: bool = False, bf16: bool = False,
@@ -49,26 +39,15 @@ def main(model_name: str, packed: bool = False, bf16: bool = False,
     enable_compile_cache()
     import jax.numpy as jnp
 
-    from cinemri_tpu.data.masks import RandomMask
     from cinemri_tpu.instrument import trace
-    from cinemri_tpu.instrument.opstats import durations_by_kind, top_ops
+    from cinemri_tpu.instrument.opstats import fold_by_kind, op_durations, sort_top
     from cinemri_tpu.models import build_model
-    from cinemri_tpu.ops.cplx import from_complex
 
-    T, C, H, W = shape
-    rng = np.random.default_rng(0)
-    k = (
-        rng.standard_normal((1, T, C, H, W))
-        + 1j * rng.standard_normal((1, T, C, H, W))
-    ).astype(np.complex64)
-    # sub-protocol H can't fit the protocol's 10 center lines @4x
-    center, accel = ((10, 4) if H >= 64 else (4, 2))
-    mask_np = RandomMask([center], [accel])(T, H, seed=0)[None]
-    km = from_complex(k * mask_np)
-    mask = jnp.asarray(mask_np.astype(np.float32))
+    T = shape[0]
+    km, mask = protocol_inputs(shape)
 
     family, dyn = model_name.split("-")
-    kwargs = dict((CRNN_CONFIGS if dyn == "CRNN" else CONFIGS)[family])
+    kwargs = model_kwargs(family, dyn)
     if packed:
         kwargs["packed"] = True
     if bf16:
@@ -76,12 +55,7 @@ def main(model_name: str, packed: bool = False, bf16: bool = False,
     model = build_model(family, dyn, **kwargs)
 
     if family == "cinenet":  # external maps (cinenet.py:154-156)
-        s = (
-            rng.standard_normal((1, 1, C, H, W))
-            + 1j * rng.standard_normal((1, 1, C, H, W))
-        ).astype(np.complex64)
-        s /= np.sqrt((np.abs(s) ** 2).sum(2, keepdims=True))
-        args = (km, mask, from_complex(s))
+        args = (km, mask, rss_normalized_maps(shape))
     else:
         args = (km, mask)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), *args)
@@ -91,7 +65,10 @@ def main(model_name: str, packed: bool = False, bf16: bool = False,
 
         from cinemri_tpu.ops.ssim import ssim_loss
 
-        tgt = jnp.asarray(rng.random((1, T, H, W)), jnp.float32)
+        tgt = jnp.asarray(
+            np.random.default_rng(1).random((1, T, shape[2], shape[3])),
+            jnp.float32,
+        )
         opt = optax.adam(1e-4)
         opt_state = opt.init(params)
 
@@ -133,21 +110,23 @@ def main(model_name: str, packed: bool = False, bf16: bool = False,
     bw = next((v for key, v in _HBM_BW.items() if key in kind), None)
     sol_ms = bytes_accessed / bw * 1e3 if bw and bytes_accessed else None
 
-    kinds = durations_by_kind(tdir, runs=runs)
-    ops = top_ops(tdir, runs=runs, n=top_n)
+    durs = op_durations(tdir, runs=runs)  # parse the xplane protos once
+    kinds = fold_by_kind(durs)
+    ops = sort_top(durs, top_n)
     # attributed_ms is a LOWER BOUND on device time: the xplane trace can
     # miss op kinds (e.g. custom-call matmuls report 0) and drop events
     # under buffer pressure. coverage = attributed/wall says how much of
     # the program the per-kind table explains; treat by_kind_ms as
     # indicative, and wall_ms (queued, scalar-synced) as ground truth.
     attributed_ms = sum(kinds.values())
-    coverage = attributed_ms / wall_ms if wall_ms else None
+    coverage = attributed_ms / wall_ms if wall_ms else None  # 0.0 is meaningful
     print(json.dumps({
         "model": model_name + ("-packed" if packed else "") + ("-bf16" if bf16 else ""),
         "mode": "train_step" if train else "forward",
         "wall_ms": round(wall_ms, 2),
         "attributed_ms": round(attributed_ms, 2),
-        "attribution_coverage": round(coverage, 3) if coverage else None,
+        "attribution_coverage": (round(coverage, 3) if coverage is not None
+                                 else None),
         "fps": round(T / (wall_ms / 1e3), 1),
         "bytes_accessed_mb": round(bytes_accessed / 1e6, 1),
         "flops_g": round(flops / 1e9, 2),

@@ -16,9 +16,15 @@ import tempfile
 import time
 from pathlib import Path
 
-import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from _protocol import (  # noqa: E402
+    PROTOCOL_SHAPE,
+    model_kwargs,
+    protocol_inputs,
+    rss_normalized_maps,
+)
 
 
 def main(model_name: str = "varnet-XF", packed: bool = True,
@@ -34,29 +40,14 @@ def main(model_name: str = "varnet-XF", packed: bool = True,
     enable_compile_cache()
     import jax.numpy as jnp
 
-    from cinemri_tpu.data.masks import RandomMask
     from cinemri_tpu.models import build_model
-    from cinemri_tpu.ops.cplx import from_complex
     from cinemri_tpu.serve import export_model, load_exported
 
-    T, C, H, W = 15, 10, 200, 200
-    rng = np.random.default_rng(0)
-    k = (
-        rng.standard_normal((1, T, C, H, W))
-        + 1j * rng.standard_normal((1, T, C, H, W))
-    ).astype(np.complex64)
-    mask_np = RandomMask([10], [4])(T, H, seed=0)[None]
-    km = from_complex(k * mask_np)
-    mask = jnp.asarray(mask_np.astype(np.float32))
+    T = PROTOCOL_SHAPE[0]
+    km, mask = protocol_inputs()
 
     family, dyn = model_name.split("-")
-    kwargs = {
-        "varnet": dict(num_cascades=10, sens_chans=8, sens_pools=3, chans=16, pools=3),
-        "cinenet": dict(num_cascades=10, cg_iters=6, chans=16, pools=3),
-        # reference defaults, train_test_xpdnet.py set_defaults
-        "xpdnet": dict(num_cascades=9, sens_chans=8, sens_pools=3, n_scales=3,
-                       n_filters_per_scale=(16, 32, 64), n_primal=5),
-    }[family]
+    kwargs = model_kwargs(family, dyn)
     if packed:
         kwargs["packed"] = True
     model = build_model(family, dyn, **kwargs)
@@ -65,12 +56,7 @@ def main(model_name: str = "varnet-XF", packed: bool = True,
     # exports the 5-arg (kre, kim, mask, sre, sim) signature for it. RSS-
     # normalized random maps — compute-identical to ESPIRiT output shapes.
     if family == "cinenet":
-        s = (
-            rng.standard_normal((1, 1, C, H, W))
-            + 1j * rng.standard_normal((1, 1, C, H, W))
-        ).astype(np.complex64)
-        s /= np.sqrt((np.abs(s) ** 2).sum(2, keepdims=True))
-        sm = from_complex(s)
+        sm = rss_normalized_maps()
         model_args = (km, mask, sm)
         served_args = (km.re, km.im, mask, sm.re, sm.im)
         export_kw = {"sens_maps": sm}

@@ -19,6 +19,8 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from _protocol import model_kwargs  # noqa: E402
+
 
 def main(full: bool = False, packed: bool = False, bf16: bool = False,
          only: str = "", normal_backend: str = ""):
@@ -57,24 +59,16 @@ def main(full: bool = False, packed: bool = False, bf16: bool = False,
     sens = from_complex(s)
     target = jnp.asarray(np.abs(k).mean(axis=2).astype(np.float32))
 
-    configs = [
-        ("varnet", "XF", dict(num_cascades=10, sens_chans=8, sens_pools=3, chans=16, pools=3)),
-        ("cinenet", "XF", dict(num_cascades=10, cg_iters=6, chans=16, pools=3)),
-        ("xpdnet", "XF", dict(num_cascades=9, sens_chans=8, sens_pools=3, n_scales=3,
-                              n_filters_per_scale=(16, 32, 64), n_primal=5)),
-    ]
+    # reference-default kwargs live in bench/_protocol.py (single source)
+    configs = [("varnet", "XF"), ("cinenet", "XF"), ("xpdnet", "XF")]
     if full:
-        configs += [
-            ("varnet", "CRNN", dict(num_cascades=10, sens_chans=8, sens_pools=3, chans=16)),
-            ("cinenet", "CRNN", dict(num_cascades=10, cg_iters=6, chans=16)),
-            ("varnet", "3D", dict(num_cascades=10, sens_chans=8, sens_pools=3, chans=16, pools=3)),
-            ("cinenet", "3D", dict(num_cascades=10, cg_iters=6, chans=16, pools=3)),
-            ("xpdnet", "CRNN", dict(num_cascades=9, sens_chans=8, sens_pools=3, chans=18, n_primal=5)),
-        ]
+        configs += [("varnet", "CRNN"), ("cinenet", "CRNN"), ("varnet", "3D"),
+                    ("cinenet", "3D"), ("xpdnet", "CRNN")]
 
     wanted = {x.strip() for x in only.split(",") if x.strip()}
     tx = make_optimizer(lr=1e-4, lr_step_size=10**6, steps_per_epoch=1)
-    for family, dyn, kwargs in configs:
+    for family, dyn in configs:
+        kwargs = model_kwargs(family, dyn)
         name = f"{family}-{dyn}"
         if wanted and name not in wanted:
             continue

@@ -288,6 +288,17 @@ def _envelope_notices(family: str, args) -> None:
     if (
         family == "xpdnet"
         and getattr(args, "norm_buffers", -1) != -1
+        and args.dynamic_type == "CRNN"
+    ):
+        warnings.warn(
+            "--norm_buffers has no effect for --dynamic_type CRNN: "
+            "XPDNetRNN's BCRNN correction does not route buffers through "
+            "MWCNN, so there is nothing to normalize — the flag is ignored",
+            stacklevel=2,
+        )
+    if (
+        family == "xpdnet"
+        and getattr(args, "norm_buffers", -1) != -1
         and bool(args.norm_buffers) != bool(args.bf16)
         and args.dynamic_type != "CRNN"
     ):
@@ -384,7 +395,11 @@ def config_fingerprint(family: str, args) -> str:
             bool(args.bf16) if args.norm_buffers == -1
             else bool(args.norm_buffers)
         )
-        src.append(("norm_buffers", resolved))
+        # append only when True: resolved=False is byte-identical to the
+        # pre-norm_buffers code, and appending it would orphan every f32
+        # xpdnet checkpoint trained before the flag existed
+        if resolved:
+            src.append(("norm_buffers", True))
     return hashlib.sha1(repr(src).encode()).hexdigest()[:8]
 
 

@@ -86,12 +86,10 @@ def op_durations(
     return dict(agg)
 
 
-def durations_by_kind(
-    trace_dir: Union[str, Path], runs: int = 1, **kw
-) -> Dict[str, float]:
-    """Op durations folded to op kinds (fusion, convolution, dot, copy, ...)."""
+def fold_by_kind(durations: Dict[str, float]) -> Dict[str, float]:
+    """Fold per-op durations to op kinds (fusion, convolution, dot, ...)."""
     out: Dict[str, float] = defaultdict(float)
-    for name, ms in op_durations(trace_dir, runs, **kw).items():
+    for name, ms in durations.items():
         m = re.match(r"%([a-zA-Z_\-]+)", name)
         kind = m.group(1) if m else name[:24]
         if "convolution" in name:
@@ -100,9 +98,20 @@ def durations_by_kind(
     return dict(out)
 
 
+def sort_top(durations: Dict[str, float], n: int = 20) -> List[Tuple[str, float]]:
+    """The n most expensive ops as (name, ms/run), descending."""
+    return sorted(durations.items(), key=lambda kv: -kv[1])[:n]
+
+
+def durations_by_kind(
+    trace_dir: Union[str, Path], runs: int = 1, **kw
+) -> Dict[str, float]:
+    """Op durations folded to op kinds (fusion, convolution, dot, copy, ...)."""
+    return fold_by_kind(op_durations(trace_dir, runs, **kw))
+
+
 def top_ops(
     trace_dir: Union[str, Path], runs: int = 1, n: int = 20, **kw
 ) -> List[Tuple[str, float]]:
     """The n most expensive ops as (name, ms/run), descending."""
-    agg = op_durations(trace_dir, runs, **kw)
-    return sorted(agg.items(), key=lambda kv: -kv[1])[:n]
+    return sort_top(op_durations(trace_dir, runs, **kw), n)

@@ -202,10 +202,9 @@ class BCRNN(nn.Module):
     kernel_size: int = 3
     dtype: jnp.dtype = jnp.float32
     block: tuple = ()  # packed (h, w) block; x/hidden_iteration arrive packed
-    # lax.scan unroll factor for the time sweep: unrolled steps let XLA
-    # hoist the loop-invariant packed-kernel relayout copies out of the
-    # body (measured on-chip, BASELINE.md "Perf-tail profiles")
-    unroll: int = 1
+    # (A time-sweep scan-unroll knob was tried here and measured a wash on
+    # the chip — 71.5 vs 72.2 ms; BASELINE.md "Perf-tail profiles" — so the
+    # scan stays at unroll=1 with no dead configuration surface.)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, hidden_iteration: jnp.ndarray) -> jnp.ndarray:
@@ -231,7 +230,6 @@ class BCRNN(nn.Module):
             split_rngs={"params": False},
             in_axes=0,
             out_axes=0,
-            unroll=self.unroll,
         )(hidden_size=self.hidden_size, kernel_size=self.kernel_size,
           dtype=self.dtype, block=self.block, name="cell")
         _, out = cell(h0, (xx, hh))

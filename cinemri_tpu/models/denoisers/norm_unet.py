@@ -26,11 +26,20 @@ from cinemri_tpu.ops.pad import pad_to_multiple, unpad
 __all__ = ["NormUnet", "NormUnet3D"]
 
 
-def _norm_groups(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+def _norm_groups(
+    x: jnp.ndarray, guard_zero_std: bool = False
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Normalize each trailing channel over all other (non-batch) axes.
 
     Matches norm_unet.py:59-74: per-sample mean and *unbiased* std of the
     real group and the imag group (here: the two trailing channels).
+
+    ``guard_zero_std`` maps a constant plane (std 0) to zeros instead of
+    0/0 = NaN — used by the norm_buffers path (our own mode, no reference
+    analogue), where XF/XT temporal-mean subtraction makes every plane of
+    a single-frame (t=1) volume exactly constant. NormUnet keeps the
+    unguarded division: the reference divides the same way, so a constant
+    input NaNs identically on both sides (quirk parity).
     """
     axes = tuple(range(1, x.ndim - 1))
     mean = jnp.mean(x, axis=axes, keepdims=True)
@@ -39,6 +48,8 @@ def _norm_groups(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
         n *= x.shape[ax]
     var = jnp.var(x, axis=axes, keepdims=True) * (n / (n - 1))
     std = jnp.sqrt(var)
+    if guard_zero_std:
+        std = jnp.where(std == 0, jnp.ones_like(std), std)
     return (x - mean) / std, mean, std
 
 

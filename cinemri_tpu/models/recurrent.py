@@ -66,7 +66,6 @@ class CRNNTrunk(nn.Module):
     # (h, w) space-to-depth block — inputs/hiddens/outputs are all packed
     # when set; exact, same params (denoisers.crnn.fused_sum_conv)
     block: tuple = ()
-    unroll: int = 1  # BCRNN time-sweep unroll factor (crnn.BCRNN.unroll)
 
     @nn.compact
     def __call__(self, x_in, hiddens):
@@ -78,7 +77,7 @@ class CRNNTrunk(nn.Module):
         for bb in self.block:
             B *= bb
 
-        x0 = BCRNN(self.chans, dtype=dt, block=self.block, unroll=self.unroll,
+        x0 = BCRNN(self.chans, dtype=dt, block=self.block,
                    name="bcrnn")(x_in, h0)
         x0f = x0.reshape(t * b, hq, wq, self.chans * B)
 

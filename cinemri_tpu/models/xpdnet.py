@@ -159,7 +159,10 @@ class XPDNetBlock(nn.Module):
 
             ch = planes.shape[-1] // 2  # [re x (n_primal+1), im x (n_primal+1)]
             n_out = ch - 1  # n_primal
-            r, mean, std = _norm_groups(planes)  # per-(sample, channel) f32
+            # per-(sample, channel) f32 stats; guard std=0 (e.g. t=1 XF/XT
+            # planes are constant after temporal-mean subtraction) -> zeros,
+            # not 0/0 NaN
+            r, mean, std = _norm_groups(planes, guard_zero_std=True)
             padded, pad = pad_for_mwcnn(r, self.n_scales, axes=(1, 2))
             out = self._mwcnn(name)(padded)
             out = unpad_from_mwcnn(out, pad, axes=(1, 2))

@@ -78,6 +78,25 @@ class TestParser:
         crnn = ["--dynamic_type", "CRNN"]
         assert fp("xpdnet", crnn) == fp("xpdnet", crnn + ["--bf16", "1"])
         assert fp("varnet", []) == fp("varnet", ["--bf16", "1"])
+        # norm_buffers OFF (explicit or resolved) is byte-identical behavior
+        # to the pre-flag code, so it must not scope
+        assert fp("xpdnet", []) == fp("xpdnet", ["--norm_buffers", "0"])
+
+    def test_fingerprint_backcompat_prenorm_checkpoints(self):
+        """An f32 xpdnet checkpoint trained before --norm_buffers existed
+        must still resolve to the same directory: the fingerprint source
+        for resolved-off runs is exactly the pre-flag key list."""
+        import hashlib
+
+        from cinemri_tpu.cli.common import MODEL_DEFAULTS, config_fingerprint
+
+        args = build_parser("xpdnet").parse_args([])
+        keys = sorted(MODEL_DEFAULTS["xpdnet"]) + [
+            "dynamic_type", "weight_sharing", "compress_coils",
+        ]
+        legacy_src = [(k, getattr(args, k)) for k in keys]
+        legacy = hashlib.sha1(repr(legacy_src).encode()).hexdigest()[:8]
+        assert config_fingerprint("xpdnet", args) == legacy
 
 
 class TestTrainTestFlow:
@@ -480,6 +499,22 @@ class TestEnvelopeNotices:
             "--norm_buffers", "1",
         ]
         with pytest.warns(UserWarning, match="certified pairing"):
+            out = train_test_main("xpdnet", args)
+        assert np.isfinite(out["history"][0]["train_loss"])
+
+    def test_xpdnet_norm_buffers_crnn_warns_ignored(self, workdir):
+        """--norm_buffers with --dynamic_type CRNN is a no-op (XPDNetRNN
+        has no MWCNN buffer path); the flag must not vanish silently."""
+        args = TINY_ARGS + [
+            "--path_config", str(workdir / "dirs_path.yaml"),
+            "--maps_cache_dir", str(workdir / "maps"),
+            "--sens_chans", "4", "--sens_pools", "2",
+            "--crnn_chans", "4", "--n_primal", "2",
+            "--dynamic_type", "CRNN",
+            "--mode", "train",
+            "--norm_buffers", "1",
+        ]
+        with pytest.warns(UserWarning, match="no effect for --dynamic_type CRNN"):
             out = train_test_main("xpdnet", args)
         assert np.isfinite(out["history"][0]["train_loss"])
 

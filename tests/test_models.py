@@ -573,6 +573,25 @@ class TestBf16Mode:
         _, out_normed = _apply(normed, "xpdnet", batch, params)
         assert np.abs(np.asarray(out_normed) - np.asarray(out_plain)).max() > 1e-4
 
+    @pytest.mark.parametrize("dyn", ["XF", "XT"])
+    def test_norm_buffers_single_frame_finite(self, dyn):
+        """t=1 volumes (reachable via --n_slices 1) make every XF/XT plane
+        constant after temporal-mean subtraction; the norm_buffers stats
+        must guard std=0 instead of emitting 0/0 NaN."""
+        rng = np.random.default_rng(0)
+        t, c, h, w = 1, 2, 16, 16
+        k = (rng.standard_normal((1, t, c, h, w))
+             + 1j * rng.standard_normal((1, t, c, h, w))).astype(np.complex64)
+        m = np.zeros((1, t, 1, h, 1), np.float32)
+        m[:, :, :, h // 2 - 3 : h // 2 + 3] = 1
+        m[:, :, :, 2] = 1
+        m[:, :, :, h - 3] = 1
+        km, mj = from_complex(k * m), jnp.asarray(m)
+        model = build_model("xpdnet", dyn, norm_buffers=True, **SMALL["xpdnet"])
+        params = model.init(jax.random.PRNGKey(0), km, mj)
+        out = np.asarray(model.apply(params, km, mj))
+        assert np.isfinite(out).all()
+
 
 class TestNormalBackendPallas:
     """set_normal_backend('pallas') end-to-end: fused normal apply inside
