@@ -257,6 +257,17 @@ def build_parser(family: str) -> argparse.ArgumentParser:
              "training_step_end behavior, mri_module.py:216-293); disable "
              "for maximum step throughput",
     )
+    p.add_argument(
+        "--profile_steps", default=0, type=int,
+        help="Capture an xplane profiler trace of this many training steps "
+             "(starting at step 1; step 0 carries the compile) into "
+             "--profile_dir; analyze with cinemri_tpu.instrument.opstats. "
+             "0 = off. The reference has no profiler (SURVEY §5)",
+    )
+    p.add_argument(
+        "--profile_dir", default=None, type=Path,
+        help="Trace output dir (default: <log_dir>/tensorboard/profile)",
+    )
     return p
 
 
@@ -673,6 +684,8 @@ def _train_test_main(family: str, argv, _scope) -> Dict:
         compute_train_metrics=args.compute_train_metrics,
         torch_init=bool(args.torch_init),
         config_fingerprint=fingerprint,
+        profile_steps=args.profile_steps,
+        profile_dir=args.profile_dir,
     )
     trainer = Trainer(
         model,

@@ -68,6 +68,13 @@ class TrainerConfig:
     # reference logs the loss every step, mri_module.py:211-213); 0 = only
     # the per-epoch aggregate
     log_every_steps: int = 1
+    # capture an xplane trace (instrument.trace) of this many training
+    # steps, starting at step 1 so the compile-carrying step 0 stays out
+    # of the trace; 0 = off. Analyze with instrument.opstats or
+    # bench/profile_forward.py's method. The reference has no profiler at
+    # all (SURVEY §5).
+    profile_steps: int = 0
+    profile_dir: Optional[Path] = None  # default: log_dir/"profile"
 
 
 class Trainer:
@@ -253,14 +260,34 @@ class Trainer:
             if threading.current_thread() is threading.main_thread():
                 prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
 
+        # --profile_steps: trace a window of steps starting at step 1 (the
+        # compile rides step 0 and would dwarf the trace)
+        prof_ctx = None
+        prof_remaining = self.cfg.profile_steps
+
         t0 = time.perf_counter()
         for epoch in range(start_epoch, self.cfg.epochs):
             self._epoch_in_flight = epoch
             agg = MetricsAggregator(self.reduce_fn)
             for batch in self.train_loader.epoch(epoch):
+                if prof_remaining and prof_ctx is None and int(self.state.step) >= 1:
+                    from cinemri_tpu.instrument import trace
+
+                    pdir = self.cfg.profile_dir or (
+                        (self.cfg.log_dir or Path(".")) / "profile"
+                    )
+                    prof_ctx = trace(pdir)
+                    prof_ctx.__enter__()
                 arrays = shard_batch(batch, self.mesh)
                 self.state, aux = self._train_step(self.state, arrays)
                 loss = float(aux["loss"])
+                if prof_ctx is not None:
+                    # the loss sync above drained the step, so the trace
+                    # window holds complete device activity
+                    prof_remaining -= 1
+                    if prof_remaining == 0:
+                        prof_ctx.__exit__(None, None, None)
+                        prof_ctx = None
                 step = int(self.state.step)
                 if self.cfg.log_every_steps and step % self.cfg.log_every_steps == 0:
                     # per-step loss + grad norm (the reference logs the loss
@@ -316,6 +343,8 @@ class Trainer:
                     self._ckpt_tree(epoch),
                     metrics={"val_loss": record.get("val_loss", record.get("train_loss", 0.0))},
                 )
+        if prof_ctx is not None:  # run shorter than the requested window
+            prof_ctx.__exit__(None, None, None)
         if prev_handler is not None:
             import signal
 

@@ -502,6 +502,23 @@ class TestEnvelopeNotices:
             out = train_test_main("xpdnet", args)
         assert np.isfinite(out["history"][0]["train_loss"])
 
+    def test_profile_steps_writes_trace(self, workdir, tmp_path):
+        """--profile_steps N captures an xplane trace of post-compile
+        training steps into --profile_dir."""
+        args = TINY_ARGS + [
+            "--path_config", str(workdir / "dirs_path.yaml"),
+            "--maps_cache_dir", str(workdir / "maps"),
+            "--chans", "4",
+            "--sens_chans", "4", "--sens_pools", "2", "--pools", "2",
+            "--mode", "train",
+            "--epochs", "2",  # step 0 carries the compile; step 1 is traced
+            "--profile_steps", "1",
+            "--profile_dir", str(tmp_path / "prof"),
+        ]
+        out = train_test_main("varnet", args)
+        assert np.isfinite(out["history"][-1]["train_loss"])
+        assert any((tmp_path / "prof").rglob("*.xplane.pb"))
+
     def test_xpdnet_norm_buffers_crnn_warns_ignored(self, workdir):
         """--norm_buffers with --dynamic_type CRNN is a no-op (XPDNetRNN
         has no MWCNN buffer path); the flag must not vanish silently."""
