@@ -264,6 +264,7 @@ class Trainer:
         # compile rides step 0 and would dwarf the trace)
         prof_ctx = None
         prof_remaining = self.cfg.profile_steps
+        pending_losses: List = []  # deferred on-device loss scalars
 
         t0 = time.perf_counter()
         for epoch in range(start_epoch, self.cfg.epochs):
@@ -280,6 +281,20 @@ class Trainer:
                     prof_ctx.__enter__()
                 arrays = shard_batch(batch, self.mesh)
                 self.state, aux = self._train_step(self.state, arrays)
+                n_real = int(np.sum(batch["sample_weight"] > 0)) if "sample_weight" in batch else len(batch["fname"])
+                # max-throughput mode (no per-step logging, no train
+                # metrics): keep the loss scalar on device and let steps
+                # pipeline; one sync at epoch end instead of one per step
+                # (host<->device round-trips are the loop's only sync, and
+                # they are expensive on remote-dispatch backends)
+                defer_loss = (
+                    not self.cfg.compute_train_metrics
+                    and not self.cfg.log_every_steps
+                    and prof_ctx is None
+                )
+                if defer_loss:
+                    pending_losses.append((aux["loss"], n_real))
+                    continue
                 loss = float(aux["loss"])
                 if prof_ctx is not None:
                     # the loss sync above drained the step, so the trace
@@ -299,7 +314,6 @@ class Trainer:
                         },
                         step,
                     )
-                n_real = int(np.sum(batch["sample_weight"] > 0)) if "sample_weight" in batch else len(batch["fname"])
                 if self.cfg.compute_train_metrics:
                     agg.update_batch(
                         batch,
@@ -310,6 +324,9 @@ class Trainer:
                 else:
                     agg.add_loss(loss, n_real)
 
+            for dev_loss, n in pending_losses:  # one pipelined drain
+                agg.add_loss(float(dev_loss), n)
+            pending_losses.clear()
             epoch_metrics = (
                 agg.compute()
                 if self.cfg.compute_train_metrics

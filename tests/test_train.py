@@ -175,6 +175,24 @@ class TestEndToEnd:
         assert 0 < test_metrics["ssim"] <= 1
         assert (tmp_path / "ckpt").exists()
 
+    def test_deferred_loss_sync_matches_per_step(self, data_root, tmp_path):
+        """Max-throughput mode (no per-step logging, no train metrics)
+        defers the loss sync to epoch end; the recorded per-epoch train
+        loss must match the per-step-synced path exactly."""
+        def run(log_every):
+            cfg = TrainerConfig(
+                epochs=2, lr=1e-3, ckpt_dir=None, log_dir=None,
+                compute_train_metrics=False, log_every_steps=log_every,
+            )
+            t = Trainer(
+                build_model("varnet", "2D", **TINY),
+                cfg,
+                train_loader=_loader(data_root, "train", tmp_path),
+            )
+            return [h["train_loss"] for h in t.fit()]
+
+        assert run(log_every=0) == run(log_every=1)
+
     def test_resume_continues_from_checkpoint(self, data_root, tmp_path):
         cfg = TrainerConfig(
             epochs=2, lr=1e-3, ckpt_dir=tmp_path / "c2", compute_train_metrics=False
