@@ -258,6 +258,13 @@ def build_parser(family: str) -> argparse.ArgumentParser:
              "for maximum step throughput",
     )
     p.add_argument(
+        "--log_every_steps", default=1, type=int,
+        help="Per-step TensorBoard cadence for training_loss/grad_norm "
+             "(the reference logs every step, mri_module.py:211-213); 0 = "
+             "per-epoch only. With --compute_train_metrics 0 this also "
+             "defers all loss syncs to epoch end (max step throughput)",
+    )
+    p.add_argument(
         "--profile_steps", default=0, type=int,
         help="Capture an xplane profiler trace of this many training steps "
              "(starting at step 1; step 0 carries the compile) into "
@@ -686,6 +693,7 @@ def _train_test_main(family: str, argv, _scope) -> Dict:
         config_fingerprint=fingerprint,
         profile_steps=args.profile_steps,
         profile_dir=args.profile_dir,
+        log_every_steps=args.log_every_steps,
     )
     trainer = Trainer(
         model,
