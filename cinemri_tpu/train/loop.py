@@ -205,8 +205,9 @@ class Trainer:
     def _run_eval(self, loader, epoch: int, split: str, ssim_csv=None) -> Dict:
         agg = MetricsAggregator(self.reduce_fn, ssim_csv_path=ssim_csv)
         logged = 0
-        for batch in loader.epoch(epoch):
-            aux = self._eval_step(self.state, shard_batch(batch, self.mesh))
+
+        def consume(batch, aux):
+            nonlocal logged
             out = _local_np(aux["output"])
             tgt = _local_np(aux["target"])
             agg.update_batch(batch, out, tgt, loss=float(aux["loss"]))
@@ -215,6 +216,19 @@ class Trainer:
                     f"{split}_images_idx_{logged}", tgt[0], out[0], int(self.state.step)
                 )
                 logged += 1
+
+        # one-step software pipeline: dispatch batch i+1's forward (async)
+        # before pulling batch i's outputs, so device compute overlaps the
+        # device->host transfer + host-side metric work (D2H is the eval
+        # loop's dominant cost on remote-dispatch backends)
+        prev = None
+        for batch in loader.epoch(epoch):
+            aux = self._eval_step(self.state, shard_batch(batch, self.mesh))
+            if prev is not None:
+                consume(*prev)
+            prev = (batch, aux)
+        if prev is not None:
+            consume(*prev)
         metrics = agg.compute()
         self.logger.scalars(
             {f"{split}_metrics/{k}": v for k, v in metrics.items() if k != "loss"},
