@@ -286,6 +286,12 @@ def _envelope_notices(family: str, args) -> None:
     certified configurations carry a measured ΔSSIM<0.001 claim."""
     import warnings
 
+    if getattr(args, "profile_steps", 0) and args.mode != "train":
+        warnings.warn(
+            "--profile_steps only traces training steps (Trainer.fit); it "
+            f"has no effect in --mode {args.mode}",
+            stacklevel=2,
+        )
     if args.batch_size > 1:
         warnings.warn(
             f"batch_size={args.batch_size} is outside the certified parity "

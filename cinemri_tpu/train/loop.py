@@ -274,112 +274,124 @@ class Trainer:
             if threading.current_thread() is threading.main_thread():
                 prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
 
-        # --profile_steps: trace a window of steps starting at step 1 (the
-        # compile rides step 0 and would dwarf the trace)
+        # --profile_steps: trace a window of steps, skipping THIS process's
+        # first step (it carries the jit compile even on resume, where the
+        # global state.step is already > 0)
         prof_ctx = None
-        prof_remaining = self.cfg.profile_steps
+        prof_remaining = max(0, self.cfg.profile_steps)
+        steps_this_process = 0
         pending_losses: List = []  # deferred on-device loss scalars
 
         t0 = time.perf_counter()
-        for epoch in range(start_epoch, self.cfg.epochs):
-            self._epoch_in_flight = epoch
-            agg = MetricsAggregator(self.reduce_fn)
-            for batch in self.train_loader.epoch(epoch):
-                if prof_remaining and prof_ctx is None and int(self.state.step) >= 1:
-                    from cinemri_tpu.instrument import trace
+        try:
+            for epoch in range(start_epoch, self.cfg.epochs):
+                self._epoch_in_flight = epoch
+                agg = MetricsAggregator(self.reduce_fn)
+                for batch in self.train_loader.epoch(epoch):
+                    if prof_remaining > 0 and prof_ctx is None and steps_this_process >= 1:
+                        from cinemri_tpu.instrument import trace
 
-                    pdir = self.cfg.profile_dir or (
-                        (self.cfg.log_dir or Path(".")) / "profile"
+                        pdir = self.cfg.profile_dir or (
+                            (self.cfg.log_dir or Path(".")) / "profile"
+                        )
+                        prof_ctx = trace(pdir)
+                        prof_ctx.__enter__()
+                    arrays = shard_batch(batch, self.mesh)
+                    self.state, aux = self._train_step(self.state, arrays)
+                    steps_this_process += 1
+                    n_real = int(np.sum(batch["sample_weight"] > 0)) if "sample_weight" in batch else len(batch["fname"])
+                    # max-throughput mode (no per-step logging, no train
+                    # metrics): keep the loss scalar on device and let steps
+                    # pipeline; one sync at epoch end instead of one per step
+                    # (host<->device round-trips are the loop's only sync, and
+                    # they are expensive on remote-dispatch backends)
+                    defer_loss = (
+                        not self.cfg.compute_train_metrics
+                        and not self.cfg.log_every_steps
+                        and prof_ctx is None
                     )
-                    prof_ctx = trace(pdir)
-                    prof_ctx.__enter__()
-                arrays = shard_batch(batch, self.mesh)
-                self.state, aux = self._train_step(self.state, arrays)
-                n_real = int(np.sum(batch["sample_weight"] > 0)) if "sample_weight" in batch else len(batch["fname"])
-                # max-throughput mode (no per-step logging, no train
-                # metrics): keep the loss scalar on device and let steps
-                # pipeline; one sync at epoch end instead of one per step
-                # (host<->device round-trips are the loop's only sync, and
-                # they are expensive on remote-dispatch backends)
-                defer_loss = (
-                    not self.cfg.compute_train_metrics
-                    and not self.cfg.log_every_steps
-                    and prof_ctx is None
+                    if defer_loss:
+                        pending_losses.append((aux["loss"], n_real))
+                        continue
+                    loss = float(aux["loss"])
+                    if prof_ctx is not None:
+                        # the loss sync above drained the step, so the trace
+                        # window holds complete device activity
+                        prof_remaining -= 1
+                        if prof_remaining <= 0:
+                            prof_ctx.__exit__(None, None, None)
+                            prof_ctx = None
+                    step = int(self.state.step)
+                    if self.cfg.log_every_steps and step % self.cfg.log_every_steps == 0:
+                        # per-step loss + grad norm (the reference logs the loss
+                        # each training_step_end, mri_module.py:211-213)
+                        self.logger.scalars(
+                            {
+                                "training_loss_step": loss,
+                                "grad_norm": float(aux["grad_norm"]),
+                            },
+                            step,
+                        )
+                    if self.cfg.compute_train_metrics:
+                        agg.update_batch(
+                            batch,
+                            _local_np(aux["output"]),
+                            _local_np(aux["target"]),
+                            loss=loss,
+                        )
+                    else:
+                        agg.add_loss(loss, n_real)
+
+                if pending_losses:
+                    # ONE bulk device->host transfer for every queued scalar
+                    # (per-scalar float() would re-pay a round-trip per step)
+                    values = jax.device_get([l for l, _ in pending_losses])
+                    for v, (_, n) in zip(values, pending_losses):
+                        agg.add_loss(float(v), n)
+                    pending_losses.clear()
+                epoch_metrics = (
+                    agg.compute()
+                    if self.cfg.compute_train_metrics
+                    else {"loss": agg.loss_value()}
                 )
-                if defer_loss:
-                    pending_losses.append((aux["loss"], n_real))
-                    continue
-                loss = float(aux["loss"])
-                if prof_ctx is not None:
-                    # the loss sync above drained the step, so the trace
-                    # window holds complete device activity
-                    prof_remaining -= 1
-                    if prof_remaining == 0:
-                        prof_ctx.__exit__(None, None, None)
-                        prof_ctx = None
-                step = int(self.state.step)
-                if self.cfg.log_every_steps and step % self.cfg.log_every_steps == 0:
-                    # per-step loss + grad norm (the reference logs the loss
-                    # each training_step_end, mri_module.py:211-213)
-                    self.logger.scalars(
-                        {
-                            "training_loss_step": loss,
-                            "grad_norm": float(aux["grad_norm"]),
-                        },
-                        step,
-                    )
-                if self.cfg.compute_train_metrics:
-                    agg.update_batch(
-                        batch,
-                        _local_np(aux["output"]),
-                        _local_np(aux["target"]),
-                        loss=loss,
-                    )
-                else:
-                    agg.add_loss(loss, n_real)
-
-            for dev_loss, n in pending_losses:  # one pipelined drain
-                agg.add_loss(float(dev_loss), n)
-            pending_losses.clear()
-            epoch_metrics = (
-                agg.compute()
-                if self.cfg.compute_train_metrics
-                else {"loss": agg.loss_value()}
-            )
-            record = {f"train_{k}": v for k, v in epoch_metrics.items()}
-            self.logger.scalars(
-                {"training_loss": epoch_metrics.get("loss", 0.0)}, int(self.state.step)
-            )
-            self.logger.scalars(
-                {
-                    f"train_metrics/{k}": v
-                    for k, v in epoch_metrics.items()
-                    if k != "loss"
-                },
-                int(self.state.step),
-            )
-
-            if self.val_loader is not None:
-                val = self._run_eval(self.val_loader, epoch, "val")
-                record.update({f"val_{k}": v for k, v in val.items()})
+                record = {f"train_{k}": v for k, v in epoch_metrics.items()}
                 self.logger.scalars(
-                    {"validation_loss": val.get("loss", 0.0)}, int(self.state.step)
+                    {"training_loss": epoch_metrics.get("loss", 0.0)}, int(self.state.step)
                 )
-            record["epoch"] = epoch
-            self.history.append(record)
-
-            if self.ckpt is not None:
-                self.ckpt.save(
-                    epoch,
-                    self._ckpt_tree(epoch),
-                    metrics={"val_loss": record.get("val_loss", record.get("train_loss", 0.0))},
+                self.logger.scalars(
+                    {
+                        f"train_metrics/{k}": v
+                        for k, v in epoch_metrics.items()
+                        if k != "loss"
+                    },
+                    int(self.state.step),
                 )
-        if prof_ctx is not None:  # run shorter than the requested window
-            prof_ctx.__exit__(None, None, None)
-        if prev_handler is not None:
-            import signal
 
-            signal.signal(signal.SIGTERM, prev_handler)
+                if self.val_loader is not None:
+                    val = self._run_eval(self.val_loader, epoch, "val")
+                    record.update({f"val_{k}": v for k, v in val.items()})
+                    self.logger.scalars(
+                        {"validation_loss": val.get("loss", 0.0)}, int(self.state.step)
+                    )
+                record["epoch"] = epoch
+                self.history.append(record)
+
+                if self.ckpt is not None:
+                    self.ckpt.save(
+                        epoch,
+                        self._ckpt_tree(epoch),
+                        metrics={"val_loss": record.get("val_loss", record.get("train_loss", 0.0))},
+                    )
+        finally:
+            # close the trace on ANY exit (debug_nans raise, loader error,
+            # SIGTERM preemption SystemExit) so a partial window still
+            # flushes instead of leaving jax.profiler running
+            if prof_ctx is not None:
+                prof_ctx.__exit__(None, None, None)
+            if prev_handler is not None:
+                import signal
+
+                signal.signal(signal.SIGTERM, prev_handler)
         if self.ckpt is not None:
             self.ckpt.wait()
         self.train_time_hours = (time.perf_counter() - t0) / 3600.0

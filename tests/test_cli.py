@@ -519,6 +519,36 @@ class TestEnvelopeNotices:
         assert np.isfinite(out["history"][-1]["train_loss"])
         assert any((tmp_path / "prof").rglob("*.xplane.pb"))
 
+    def test_profile_steps_warns_outside_train_mode(self, workdir):
+        """--profile_steps only instruments Trainer.fit; --mode test must
+        say so instead of silently writing no trace."""
+        args = TINY_ARGS + [
+            "--path_config", str(workdir / "dirs_path.yaml"),
+            "--maps_cache_dir", str(workdir / "maps"),
+            "--chans", "4",
+            "--sens_chans", "4", "--sens_pools", "2", "--pools", "2",
+            "--mode", "test",  # fresh-init eval; no checkpoint needed
+            "--profile_steps", "5",
+        ]
+        with pytest.warns(UserWarning, match="only traces training steps"):
+            train_test_main("varnet", args)
+
+    def test_profile_steps_negative_is_off(self, workdir, tmp_path):
+        """A negative --profile_steps clamps to off instead of tracing the
+        whole run."""
+        args = TINY_ARGS + [
+            "--path_config", str(workdir / "dirs_path.yaml"),
+            "--maps_cache_dir", str(workdir / "maps"),
+            "--chans", "4",
+            "--sens_chans", "4", "--sens_pools", "2", "--pools", "2",
+            "--mode", "train", "--epochs", "2",
+            "--profile_steps", "-5",
+            "--profile_dir", str(tmp_path / "noprof"),
+        ]
+        out = train_test_main("varnet", args)
+        assert np.isfinite(out["history"][-1]["train_loss"])
+        assert not (tmp_path / "noprof").exists()
+
     def test_xpdnet_norm_buffers_crnn_warns_ignored(self, workdir):
         """--norm_buffers with --dynamic_type CRNN is a no-op (XPDNetRNN
         has no MWCNN buffer path); the flag must not vanish silently."""
