@@ -76,7 +76,16 @@ class InferenceRunner:
         self.save_path = Path(save_path)
         self.save_path.mkdir(parents=True, exist_ok=True)
         self.params = params
-        self._forward = jax.jit(lambda p, *args: model.apply(p, *args))
+        # Weights are fixed for the runner's lifetime, so bake them into the
+        # compiled program (closure capture) instead of passing the tree as
+        # an argument: constant weights let XLA assign them their preferred
+        # conv layouts at compile time, where argument weights arrive in the
+        # default layout and the program pays a per-call on-device layout
+        # conversion. Measured on the chip (bench/dispatch_probe.py
+        # --experiment binding): varnet-3D-packed 73.5 -> 56.3 ms/volume
+        # (1.31x); this is exactly the serving artifact's timing, closing
+        # the served>in-process gap in BASELINE.md's serving table.
+        self._forward = jax.jit(lambda *args: model.apply(params, *args))
 
     def __call__(self, batch: Dict) -> float:
         """Returns the forward wall-clock seconds (device-synchronized)."""
@@ -87,7 +96,7 @@ class InferenceRunner:
             args.append(from_complex(batch["sens_maps"]))
 
         t0 = time.perf_counter()
-        output = self._forward(self.params, *args)
+        output = self._forward(*args)
         output.block_until_ready()
         elapsed = time.perf_counter() - t0
 

@@ -334,12 +334,17 @@ class TestPreemption:
             [sys.executable, "-c", script],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
-        # wait until training is underway (first epochs checkpointed)
-        deadline = _time.time() + 240
+        # wait until training is underway (first epochs checkpointed);
+        # generous deadline — under full-machine contention (parallel
+        # compile jobs) the subprocess's first compile alone can take
+        # minutes, and this test is about SIGTERM handling, not startup
+        deadline = _time.time() + 480
         ckpt_dir = tmp_path / "pckpt"
         while _time.time() < deadline:
             if ckpt_dir.exists() and any(p.name.isdigit() for p in ckpt_dir.iterdir()):
                 break
+            if proc.poll() is not None:  # died before training — show why
+                pytest.fail(f"training subprocess exited early:\n{proc.stderr.read()}")
             _time.sleep(2)
         else:
             proc.kill()
