@@ -101,12 +101,17 @@ def main(full: bool = False, packed: bool = False, only: str = "",
             # conv layouts at compile time — measured up to 1.31x over the
             # arg-bound program on packed 3-D variants
             # (bench/dispatch_probe.py --experiment binding).
-            fwd = jax.jit(lambda *a: model.apply(params, *a))
             fwd_sum = jax.jit(lambda *a: jnp.sum(model.apply(params, *a)))
-            out = np.asarray(fwd(*args))
+            # One-time finiteness check through a throwaway program, freed
+            # before the timing loop so only ONE weight-embedded executable
+            # stays live (advisor r4: two baked programs double the
+            # executable-embedded weight memory).
+            chk = jax.jit(lambda *a: jnp.all(jnp.isfinite(model.apply(params, *a))))
+            out_finite = bool(chk(*args))
+            del chk
             float(fwd_sum(*args))
             compile_s = time.perf_counter() - t0
-            assert np.isfinite(out).all()
+            assert out_finite
             n = 20
             t0 = time.perf_counter()
             vals = [fwd_sum(*args) for _ in range(n)]

@@ -6,8 +6,9 @@ deep variants — evidence of a per-call cost that is NOT device compute:
 pytree flatten of the parameter tree plus argument placement/donation checks
 scale with leaf count, while a baked program takes 3 flat array args.
 
-Two experiments, both at the headline mode (bf16 activations + DFT matmuls
-at precision HIGH — bench.py protocol, VarNet-XF flagship shapes):
+Three experiments, the first two at the headline mode (bf16 activations +
+DFT matmuls at precision HIGH — bench.py protocol, VarNet-XF flagship
+shapes), the third at shipping f32:
 
 1. **serial_batch at headline mode**: the serving-modes table in BASELINE.md
    ("Serving modes") was measured on the round-2 f32 program. Re-measure
@@ -21,8 +22,12 @@ at precision HIGH — bench.py protocol, VarNet-XF flagship shapes):
    grows with cascade count, the parameter-tree flatten is the culprit and
    deep in-process loops should prefer the baked binding.
 
+3. **binding A/B** (``--experiment binding`` or part of ``all``): arg-bound
+   vs baked vs exported-artifact timings for one variant (``--model``,
+   ``--packed``) — the experiment behind BASELINE.md's binding table.
+
 Prints one JSON line per measurement. Usage:
-    python bench/dispatch_probe.py [--experiment serial|sweep|all]
+    python bench/dispatch_probe.py [--experiment serial|sweep|binding|all]
 """
 
 import argparse
@@ -35,24 +40,10 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-T, C, H, W = 15, 10, 200, 200
+from _protocol import PROTOCOL_SHAPE, model_kwargs, protocol_inputs, rss_normalized_maps  # noqa: E402
+
+T, C, H, W = PROTOCOL_SHAPE
 N_TIMED = 20
-
-
-def _inputs(batch: int = 1):
-    import jax.numpy as jnp
-
-    from cinemri_tpu.data.masks import RandomMask
-    from cinemri_tpu.ops.cplx import from_complex
-
-    rng = np.random.default_rng(0)
-    k = (
-        rng.standard_normal((batch, T, C, H, W))
-        + 1j * rng.standard_normal((batch, T, C, H, W))
-    ).astype(np.complex64)
-    mask = RandomMask([10], [4])(T, H, seed=0)[None]
-    mask = np.broadcast_to(mask, (batch,) + mask.shape[1:])
-    return from_complex(k * mask), jnp.asarray(mask.astype(np.float32))
 
 
 def _flagship(num_cascades: int = 10):
@@ -66,7 +57,7 @@ def _flagship(num_cascades: int = 10):
         "varnet", "XF", num_cascades=num_cascades, sens_chans=8, sens_pools=3,
         chans=16, pools=3, bf16=True,
     )
-    km, mask = _inputs()
+    km, mask = protocol_inputs()
     params = jax.jit(model.init)(jax.random.PRNGKey(0), km, mask)
     return model, params
 
@@ -93,7 +84,7 @@ def serial_experiment():
 
     rows = []
     for batch in (1, 2, 4):
-        km, mask = _inputs(batch)
+        km, mask = protocol_inputs(batch=batch)
         joint = jax.jit(lambda kk, mm: jnp.sum(fwd(kk, mm)))
         per_call = _time(joint, km, mask)
         rows.append(("joint", batch, per_call))
@@ -114,7 +105,7 @@ def sweep_experiment():
     import jax
     import jax.numpy as jnp
 
-    km, mask = _inputs()
+    km, mask = protocol_inputs()
     for nc in (5, 10, 20):
         model, params = _flagship(nc)
         n_leaves = len(jax.tree.leaves(params))
@@ -147,7 +138,6 @@ def binding_experiment(model_name: str, packed: bool):
     import jax
     import jax.numpy as jnp
 
-    from _protocol import model_kwargs
     from cinemri_tpu.models import build_model
     from cinemri_tpu.serve import export_model, load_exported
 
@@ -156,15 +146,10 @@ def binding_experiment(model_name: str, packed: bool):
     if packed:
         kwargs["packed"] = True
     model = build_model(family, dyn, **kwargs)
-    km, mask = _inputs()
+    km, mask = protocol_inputs()
     args = (km, mask)
     if family == "cinenet":  # external-maps signature
-        from cinemri_tpu.ops.cplx import Complex
-
-        rng = np.random.default_rng(1)
-        sens = rng.standard_normal((1, 1, C, H, W, 2)).astype(np.float32)
-        sens /= np.sqrt((sens**2).sum(axis=(2, -1), keepdims=True)) + 1e-8
-        args = (km, mask, Complex(sens[..., 0], sens[..., 1]))
+        args = (km, mask, rss_normalized_maps())
     params = jax.jit(model.init)(jax.random.PRNGKey(0), *args)
     n_leaves = len(jax.tree.leaves(params))
 
@@ -203,8 +188,10 @@ def main():
                     choices=["serial", "sweep", "binding", "all"])
     ap.add_argument("--model", default="varnet-3D",
                     help="binding experiment variant (family-dynamic)")
-    ap.add_argument("--packed", action="store_true", default=True)
-    ap.add_argument("--no-packed", dest="packed", action="store_false")
+    ap.add_argument("--packed", action="store_true",
+                    help="use the packed variant for the binding experiment "
+                         "(opt-in, matching all_models.py; BASELINE.md's "
+                         "binding table rows were measured --packed)")
     args = ap.parse_args()
 
     from cinemri_tpu.utils.compile_cache import enable_compile_cache
@@ -214,7 +201,7 @@ def main():
         serial_experiment()
     if args.experiment in ("sweep", "all"):
         sweep_experiment()
-    if args.experiment == "binding":
+    if args.experiment in ("binding", "all"):
         binding_experiment(args.model, args.packed)
 
 

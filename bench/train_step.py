@@ -23,7 +23,9 @@ from _protocol import model_kwargs  # noqa: E402
 
 
 def main(full: bool = False, packed: bool = False, bf16: bool = False,
-         only: str = "", normal_backend: str = ""):
+         only: str = "", normal_backend: str = "", remat_policy: str = "",
+         no_remat: bool = False, no_prevent_cse: bool = False,
+         donate: bool = False, batch: int = 1):
     import jax
 
     from cinemri_tpu.utils.compile_cache import enable_compile_cache
@@ -43,17 +45,20 @@ def main(full: bool = False, packed: bool = False, bf16: bool = False,
     from cinemri_tpu.train import make_optimizer
 
     T, C, H, W = 15, 10, 200, 200
+    B = batch
     rng = np.random.default_rng(0)
     k = (
-        rng.standard_normal((1, T, C, H, W))
-        + 1j * rng.standard_normal((1, T, C, H, W))
+        rng.standard_normal((B, T, C, H, W))
+        + 1j * rng.standard_normal((B, T, C, H, W))
     ).astype(np.complex64)
-    mask_np = RandomMask([10], [4])(T, H, seed=0)[None]
+    mask_np = np.stack(
+        [RandomMask([10], [4])(T, H, seed=i) for i in range(B)]
+    )
     km = from_complex(k * mask_np)
     mask = jnp.asarray(mask_np.astype(np.float32))
     s = (
-        rng.standard_normal((1, 1, C, H, W))
-        + 1j * rng.standard_normal((1, 1, C, H, W))
+        rng.standard_normal((B, 1, C, H, W))
+        + 1j * rng.standard_normal((B, 1, C, H, W))
     ).astype(np.complex64)
     s /= np.sqrt((np.abs(s) ** 2).sum(2, keepdims=True))
     sens = from_complex(s)
@@ -76,21 +81,41 @@ def main(full: bool = False, packed: bool = False, bf16: bool = False,
             kwargs = dict(kwargs, packed=True)
         if bf16:
             kwargs = dict(kwargs, bf16=True)
-        suffix = ("-packed" if kwargs.get("packed") else "") + ("-bf16" if kwargs.get("bf16") else "")
+        if remat_policy:
+            kwargs = dict(kwargs, remat_policy=remat_policy)
+        if no_remat:
+            kwargs = dict(kwargs, remat=False)
+        if no_prevent_cse:
+            kwargs = dict(kwargs, remat_prevent_cse=False)
+        suffix = (
+            ("-packed" if kwargs.get("packed") else "")
+            + ("-bf16" if kwargs.get("bf16") else "")
+            + (f"-remat_{remat_policy}" if remat_policy else "")
+            + ("-no_remat" if no_remat else "")
+            + ("-no_cse_barrier" if no_prevent_cse else "")
+            + ("-donate" if donate else "")
+            + (f"-b{batch}" if batch != 1 else "")
+        )
         try:
             model = build_model(family, dyn, **kwargs)
             args = (km, mask, sens) if family == "cinenet" else (km, mask)
             params = jax.jit(model.init)(jax.random.PRNGKey(0), *args)
             opt_state = tx.init(params)
 
-            @jax.jit
-            def step(params, opt_state, *a):
+            def step_fn(params, opt_state, *a):
                 def loss_fn(p):
                     return ssim_loss(model.apply(p, *a), target)
 
                 loss, grads = jax.value_and_grad(loss_fn)(params)
                 updates, opt_state2 = tx.update(grads, opt_state, params)
                 return optax.apply_updates(params, updates), opt_state2, loss
+
+            # --donate matches the real trainer (train/step.py jits with
+            # donate_argnums=(0,)): params/opt_state buffers are reused
+            # in place, which also lets XLA keep their layouts stable
+            step = jax.jit(
+                step_fn, donate_argnums=(0, 1) if donate else ()
+            )
 
             t0 = time.perf_counter()
             params2, opt2, loss = step(params, opt_state, *args)
@@ -121,5 +146,17 @@ if __name__ == "__main__":
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--only", default="")
     ap.add_argument("--normal_backend", default="", choices=("", "xla", "pallas"))
+    ap.add_argument("--remat_policy", default="",
+                    choices=("", "dots", "dots_batch", "convs"),
+                    help="cascade-remat checkpoint policy (models.remat)")
+    ap.add_argument("--no_remat", action="store_true",
+                    help="disable cascade remat entirely (save everything)")
+    ap.add_argument("--no_prevent_cse", action="store_true",
+                    help="drop the remat CSE barriers (safe under jit-of-scan)")
+    ap.add_argument("--donate", action="store_true",
+                    help="donate params/opt_state like the real trainer")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="global batch size (volumes per step)")
     a = ap.parse_args()
-    main(a.full, a.packed, a.bf16, a.only, a.normal_backend)
+    main(a.full, a.packed, a.bf16, a.only, a.normal_backend, a.remat_policy,
+         a.no_remat, a.no_prevent_cse, a.donate, a.batch)

@@ -68,14 +68,20 @@ def zero_filled_recon(masked_kspace: np.ndarray) -> np.ndarray:
 
 
 class InferenceRunner:
-    """Runs a trained model over the inference split and saves artifacts."""
+    """Runs a trained model over the inference split and saves artifacts.
+
+    Weights are FIXED at construction: the jitted forward closure-captures
+    ``params`` (see the baked-binding note below), so assigning a new tree
+    to the runner after construction has no effect — build a new runner to
+    swap checkpoints.
+    """
 
     def __init__(self, model, params, model_type: str, save_path: Path):
         assert model_type in ("varnet", "cinenet", "xpdnet"), "Wrong model_type arg."
         self.model_type = model_type
         self.save_path = Path(save_path)
         self.save_path.mkdir(parents=True, exist_ok=True)
-        self.params = params
+        self._params = params
         # Weights are fixed for the runner's lifetime, so bake them into the
         # compiled program (closure capture) instead of passing the tree as
         # an argument: constant weights let XLA assign them their preferred

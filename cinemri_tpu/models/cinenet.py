@@ -149,6 +149,9 @@ class CineNet(nn.Module):
     # (cinenet.py:121-133). Numerically identical to matmul rounding;
     # auto-falls back to the direct operator for non-line masks.
     kernel_dc: bool = True
+    # cascade-remat checkpoint policy (models.remat.REMAT_POLICIES); exact
+    remat_policy: str = ""
+    remat_prevent_cse: bool = True
 
     @nn.compact
     def __call__(
@@ -168,7 +171,11 @@ class CineNet(nn.Module):
             else None
         )
 
-        block = nn.remat(CineNetCascade) if self.remat else CineNetCascade
+        from cinemri_tpu.models.remat import wrap_remat
+
+        block = wrap_remat(
+            CineNetCascade, self.remat, self.remat_policy, self.remat_prevent_cse
+        )
         scan = nn.scan(
             block,
             variable_broadcast="params",  # shared denoiser (cinenet.py:46-57)

@@ -148,20 +148,24 @@ def fused_sum_conv(
         name if len(inputs) == 1
         else f"{name}__f{'_'.join(str(s) for s in sizes)}"
     )
+    from cinemri_tpu.models.remat import tag_conv_out
+
     if block is not None and B > 1:
-        return _PackedFusedConv(
+        out = _PackedFusedConv(
             chans, kernel_size, sizes, tuple(block), dt, name=full_name
         )(cat)
-    if len(inputs) == 1:
-        return nn.Conv(chans, k, padding="SAME", dtype=dt, name=full_name)(cat)
-    return nn.Conv(
-        chans,
-        k,
-        padding="SAME",
-        dtype=dt,
-        name=full_name,
-        kernel_init=_sliced_lecun_normal(sizes),
-    )(cat)
+    elif len(inputs) == 1:
+        out = nn.Conv(chans, k, padding="SAME", dtype=dt, name=full_name)(cat)
+    else:
+        out = nn.Conv(
+            chans,
+            k,
+            padding="SAME",
+            dtype=dt,
+            name=full_name,
+            kernel_init=_sliced_lecun_normal(sizes),
+        )(cat)
+    return tag_conv_out(out)  # saveable under the "convs" remat policy
 
 
 class CRNNCell(nn.Module):

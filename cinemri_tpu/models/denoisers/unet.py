@@ -65,11 +65,14 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from cinemri_tpu.models.remat import tag_conv_out
+
         k = (3,) * self.dims
         for _ in range(2):
             x = nn.Conv(
                 self.out_chans, k, padding="SAME", use_bias=False, dtype=self.dtype
             )(x)
+            x = tag_conv_out(x)  # saveable under the "convs" remat policy
             x = _instance_norm(x)
             x = nn.leaky_relu(x, negative_slope=0.2)
             if self.drop_prob > 0:
@@ -86,6 +89,8 @@ class TransposeConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from cinemri_tpu.models.remat import tag_conv_out
+
         x = nn.ConvTranspose(
             self.out_chans,
             (2,) * self.dims,
@@ -94,6 +99,7 @@ class TransposeConvBlock(nn.Module):
             use_bias=False,
             dtype=self.dtype,
         )(x)
+        x = tag_conv_out(x)  # saveable under the "convs" remat policy
         x = _instance_norm(x)
         return nn.leaky_relu(x, negative_slope=0.2)
 
@@ -114,11 +120,14 @@ class PackedConvBlock(nn.Module):
             packed_group_norm,
         )
 
+        from cinemri_tpu.models.remat import tag_conv_out
+
         for i in range(2):
             x = PackedConv(
                 self.out_chans, (3,) * self.dims, self.block,
                 use_bias=False, dtype=self.dtype, name=f"Conv_{i}",
             )(x)
+            x = tag_conv_out(x)  # saveable under the "convs" remat policy
             x = packed_group_norm(x, self.out_chans)
             x = nn.leaky_relu(x, negative_slope=0.2)
         return x
@@ -139,10 +148,13 @@ class PackedTransposeConvBlock(nn.Module):
             packed_group_norm,
         )
 
+        from cinemri_tpu.models.remat import tag_conv_out
+
         x = PackedConvTranspose(
             self.out_chans, self.block_in, self.block_out,
             use_bias=False, dtype=self.dtype, name="ConvTranspose_0",
         )(x)
+        x = tag_conv_out(x)  # saveable under the "convs" remat policy
         x = packed_group_norm(x, self.out_chans)
         return nn.leaky_relu(x, negative_slope=0.2)
 

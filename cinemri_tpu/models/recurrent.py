@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from cinemri_tpu.models.denoisers.crnn import BCRNN, fused_sum_conv, pack2, unpack2
+from cinemri_tpu.models.remat import wrap_remat
 from cinemri_tpu.models.denoisers.kspace_cnn import KSpaceCNN
 from cinemri_tpu.models.varnet import SensitivityModel, lambda_init
 from cinemri_tpu.models.xpdnet import XPDNetSensitivityModel, _merge_ri, _split_ri
@@ -179,6 +180,9 @@ class VarNetRNN(nn.Module):
     sens_pools: int = 4
     chans: int = 18
     remat: bool = True
+    # iteration-remat checkpoint policy (models.remat.REMAT_POLICIES); exact
+    remat_policy: str = ""
+    remat_prevent_cse: bool = True
     kernel_dc: bool = True  # see VarNet.kernel_dc
     packed: bool = False  # space-to-depth sens-model denoiser
     bf16: bool = False  # bfloat16 trunk activations (see VarNet.bf16)
@@ -208,7 +212,9 @@ class VarNetRNN(nn.Module):
         rss0 = coil_weight(sens_maps) if use_kernel else None
         ref = x_ref if use_kernel else ref_kspace
 
-        step = nn.remat(_VarNetRNNStep) if self.remat else _VarNetRNNStep
+        step = wrap_remat(
+            _VarNetRNNStep, self.remat, self.remat_policy, self.remat_prevent_cse
+        )
         scan = nn.scan(
             step,
             variable_broadcast="params",
@@ -265,6 +271,9 @@ class CineNetRNN(nn.Module):
     cg_iters: int = 4
     chans: int = 64
     remat: bool = True
+    # iteration-remat checkpoint policy (models.remat.REMAT_POLICIES); exact
+    remat_policy: str = ""
+    remat_prevent_cse: bool = True
     kernel_dc: bool = True  # see CineNet.kernel_dc
     packed: bool = False  # space-to-depth packed CRNN trunk
     bf16: bool = False  # bfloat16 trunk activations (see VarNet.bf16)
@@ -292,7 +301,9 @@ class CineNetRNN(nn.Module):
             else None
         )
 
-        step = nn.remat(_CineNetRNNStep) if self.remat else _CineNetRNNStep
+        step = wrap_remat(
+            _CineNetRNNStep, self.remat, self.remat_policy, self.remat_prevent_cse
+        )
         scan = nn.scan(
             step,
             variable_broadcast="params",
@@ -475,6 +486,9 @@ class XPDNetRNN(nn.Module):
     n_primal: int = 5
     n_dual: int = 1
     remat: bool = True
+    # iteration-remat checkpoint policy (models.remat.REMAT_POLICIES); exact
+    remat_policy: str = ""
+    remat_prevent_cse: bool = True
     kernel_dc: bool = True  # see VarNet.kernel_dc (primal_only mode only)
     packed: bool = False  # space-to-depth packed CRNN trunk
     bf16: bool = False  # bfloat16 trunk activations (see VarNet.bf16)
@@ -511,10 +525,9 @@ class XPDNetRNN(nn.Module):
                 buf_p = pack2(
                     _split_ri(image_buffer).transpose(1, 0, 2, 3, 4), block
                 )
-                step_cls = (
-                    nn.remat(_XPDNetRNNPackedStep)
-                    if self.remat
-                    else _XPDNetRNNPackedStep
+                step_cls = wrap_remat(
+                    _XPDNetRNNPackedStep, self.remat, self.remat_policy,
+                    self.remat_prevent_cse,
                 )
                 scan = nn.scan(
                     step_cls,
@@ -532,7 +545,10 @@ class XPDNetRNN(nn.Module):
             # all weights iteration-shared: scan + remat
             kspace_buffer = crepeat(ref_kspace[..., None], 1, axis=-1)
             carry = (image_buffer, kspace_buffer, hiddens)
-            step_cls = nn.remat(_XPDNetRNNStep) if self.remat else _XPDNetRNNStep
+            step_cls = wrap_remat(
+                _XPDNetRNNStep, self.remat, self.remat_policy,
+                self.remat_prevent_cse,
+            )
             scan = nn.scan(
                 step_cls,
                 variable_broadcast="params",

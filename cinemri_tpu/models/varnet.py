@@ -218,6 +218,10 @@ class VarNet(nn.Module):
     # physics.soft_dc_image_kernel) — numerically identical to the direct
     # k-space form; auto-falls back for non-line masks
     kernel_dc: bool = True
+    # checkpoint policy for the cascade remat (models.remat.REMAT_POLICIES);
+    # numerically exact — changes only what the backward pass recomputes
+    remat_policy: str = ""
+    remat_prevent_cse: bool = True
 
     @nn.compact
     def __call__(self, masked_kspace: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -244,7 +248,11 @@ class VarNet(nn.Module):
         else:
             dc_kernel, rss0, carry0, ref = None, None, masked_kspace, masked_kspace
 
-        block = nn.remat(VarNetCascade) if self.remat else VarNetCascade
+        from cinemri_tpu.models.remat import wrap_remat
+
+        block = wrap_remat(
+            VarNetCascade, self.remat, self.remat_policy, self.remat_prevent_cse
+        )
         scan = nn.scan(
             block,
             variable_broadcast="params",  # regularizer U-Net shared (varnet.py:138-149)

@@ -299,6 +299,9 @@ class XPDNet(nn.Module):
     # None -> on exactly when bf16 is on (the certified combination);
     # force True/False to eval a checkpoint trained with the other setting.
     norm_buffers: bool | None = None
+    # cascade-remat checkpoint policy (models.remat.REMAT_POLICIES); exact
+    remat_policy: str = ""
+    remat_prevent_cse: bool = True
 
     @nn.compact
     def __call__(self, masked_kspace: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -323,7 +326,11 @@ class XPDNet(nn.Module):
         use_kernel = self.kernel_dc and self.primal_only and is_line_mask(mask)
         dc_kernel = masked_normal_kernel(mask) if use_kernel else None
 
-        block = nn.remat(XPDNetBlock) if self.remat else XPDNetBlock
+        from cinemri_tpu.models.remat import wrap_remat
+
+        block = wrap_remat(
+            XPDNetBlock, self.remat, self.remat_policy, self.remat_prevent_cse
+        )
         scan = nn.scan(
             block,
             variable_axes={"params": 0},  # per-cascade nets (xpdnet.py:263-273)

@@ -250,6 +250,63 @@ class TestRobustness:
             rtol=1e-6, atol=1e-7,
         )
 
+    @pytest.mark.parametrize("policy", ["dots", "dots_batch", "convs"])
+    def test_remat_policy_exact_forward_and_grad(self, policy, batch):
+        """Checkpoint policies change only WHAT the backward pass saves vs
+        recomputes — loss and gradients must be bit-comparable to the
+        default save-nothing remat (models/remat.py)."""
+        k, m, _ = batch
+        tgt = jnp.abs(k.re[:, :, 0])  # any (b,t,h,w) target
+
+        def loss_of(model):
+            p = model.init(jax.random.PRNGKey(0), k, m)
+
+            def f(pp):
+                return ssim_loss(model.apply(pp, k, m), tgt)
+
+            loss, g = jax.value_and_grad(f)(p)
+            return float(loss), jax.tree.leaves(g)
+
+        base = build_model("varnet", "XF", **SMALL["varnet"])
+        mod = build_model(
+            "varnet", "XF", remat_policy=policy, remat_prevent_cse=False,
+            **SMALL["varnet"],
+        )
+        l0, g0 = loss_of(base)
+        l1, g1 = loss_of(mod)
+        assert l0 == pytest.approx(l1, rel=1e-6)
+        for a, b in zip(g0, g1):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+            )
+
+    def test_remat_policy_exact_crnn(self, batch):
+        """Same exactness through the iteration-recurrent families."""
+        k, m, _ = batch
+        tgt = jnp.abs(k.re[:, :, 0])
+
+        def loss_of(model):
+            p = model.init(jax.random.PRNGKey(0), k, m)
+
+            def f(pp):
+                return ssim_loss(model.apply(pp, k, m), tgt)
+
+            loss, g = jax.value_and_grad(f)(p)
+            return float(loss), jax.tree.leaves(g)
+
+        base = build_model("varnet", "CRNN", **CRNN_SMALL["varnet"])
+        mod = build_model(
+            "varnet", "CRNN", remat_policy="convs", remat_prevent_cse=False,
+            **CRNN_SMALL["varnet"],
+        )
+        l0, g0 = loss_of(base)
+        l1, g1 = loss_of(mod)
+        assert l0 == pytest.approx(l1, rel=1e-6)
+        for a, b in zip(g0, g1):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+            )
+
     def test_equispaced_static_mask_broadcasts(self, rng):
         """Equispaced masks are (b, 1, 1, h, 1) — a single frame broadcast
         over time (subsample.py:210-214); the whole stack must accept it."""
