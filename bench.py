@@ -116,6 +116,17 @@ def main():
             if key in kind:
                 return val
         return float("nan")  # unknown host (e.g. CPU run): mfu reported null
+
+    def peak_hbm_bytes_per_sec() -> float:
+        kind = jax.devices()[0].device_kind.lower()
+        table = {  # HBM bandwidth per chip (vendor specs)
+            "v5 lite": 819e9, "v5e": 819e9, "v5p": 2765e9,
+            "v4": 1228e9, "v6": 1640e9, "trillium": 1640e9,
+        }
+        for key, val in table.items():
+            if key in kind:
+                return val
+        return float("nan")
     # reduce to a scalar on device: synchronizing on the scalar forces the
     # queued executions to complete without paying a full-volume D2H per run
     # (block_until_ready does not reliably wait on all TPU backends, and the
@@ -139,12 +150,19 @@ def main():
     fps = T / per_volume
 
     mfu = None
+    hbm_frac = None
     try:
         cost = fwd_sum.lower(masked_kspace, mask).compile().cost_analysis()
         flops = float(cost.get("flops", 0.0))
         peak = peak_flops_per_sec()
         if flops > 0 and peak == peak:  # peak is not NaN
             mfu = round(flops / per_volume / peak, 4)
+        bytes_accessed = float(cost.get("bytes accessed", 0.0))
+        bw = peak_hbm_bytes_per_sec()
+        if bytes_accessed > 0 and bw == bw:
+            # achieved HBM traffic vs peak bandwidth — the binding roofline
+            # for these 16-channel models (BASELINE.md)
+            hbm_frac = round(bytes_accessed / per_volume / bw, 3)
     except Exception:
         pass  # cost model unavailable on this backend; keep fps-only output
 
@@ -175,6 +193,10 @@ def main():
             peak = peak_flops_per_sec()
             if flops > 0 and peak == peak:
                 mfu = round(flops / per_volume16 / peak, 4)
+            bytes_accessed = float(cost.get("bytes accessed", 0.0))
+            bw = peak_hbm_bytes_per_sec()
+            if bytes_accessed > 0 and bw == bw:
+                hbm_frac = round(bytes_accessed / per_volume16 / bw, 3)
         except Exception:
             pass
     except Exception:
@@ -189,6 +211,7 @@ def main():
                 "unit": "frames/sec",
                 "vs_baseline": round(headline / REFERENCE_CPU_FRAMES_PER_SEC, 2),
                 "mfu": mfu,
+                "hbm_frac": hbm_frac,
                 "dtype": "bf16+dft_high" if bf16_fps is not None else "f32",
                 "f32_frames_per_sec": round(fps, 1),
             }

@@ -18,23 +18,38 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from _protocol import model_kwargs  # noqa: E402
 
 
-def _mfu(jitted, args, seconds: float):
-    """FLOPs of the compiled program / wall time, vs the chip's bf16 peak."""
+_HBM_BW = {"v5 lite": 819e9, "v5e": 819e9, "v5p": 2765e9, "v4": 1228e9,
+           "v6": 1640e9, "trillium": 1640e9}  # bytes/sec, vendor specs
+
+
+def _utilization(jitted, args, seconds: float):
+    """Compiled-program utilization vs the chip's two rooflines.
+
+    Returns ``(mfu, hbm_gbps, hbm_frac)``: FLOPs/wall vs bf16 peak, and
+    achieved HBM traffic (cost_analysis 'bytes accessed' / wall) as GB/s
+    and as a fraction of peak HBM bandwidth. hbm_frac is THE roofline that
+    binds these models (BASELINE.md: 16-channel widths are bandwidth-bound
+    even after packing) — MFU alone undersells where the wall is.
+    """
     import jax
 
     peaks = {"v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12, "v4": 275e12,
              "v6": 918e12, "trillium": 918e12}
     kind = jax.devices()[0].device_kind.lower()
     peak = next((v for k, v in peaks.items() if k in kind), None)
+    bw = next((v for k, v in _HBM_BW.items() if k in kind), None)
     if peak is None:
-        return None
+        return None, None, None
     try:
-        flops = float(
-            jitted.lower(*args).compile().cost_analysis().get("flops", 0.0)
-        )
+        cost = jitted.lower(*args).compile().cost_analysis()
+        flops = float(cost.get("flops", 0.0))
+        bytes_accessed = float(cost.get("bytes accessed", 0.0))
     except Exception:
-        return None
-    return round(flops / seconds / peak, 4) if flops > 0 else None
+        return None, None, None
+    mfu = round(flops / seconds / peak, 4) if flops > 0 else None
+    gbps = bytes_accessed / seconds / 1e9 if bytes_accessed > 0 else None
+    frac = (round(gbps * 1e9 / bw, 3) if gbps is not None and bw else None)
+    return mfu, (round(gbps, 1) if gbps is not None else None), frac
 
 
 def main(full: bool = False, packed: bool = False, only: str = "",
@@ -117,6 +132,7 @@ def main(full: bool = False, packed: bool = False, only: str = "",
             vals = [fwd_sum(*args) for _ in range(n)]
             float(vals[-1])  # sync on the final scalar
             best = (time.perf_counter() - t0) / n
+            mfu, hbm_gbps, hbm_frac = _utilization(fwd_sum, args, best)
             print(json.dumps({
                 "model": name + ("-packed" if kwargs.get("packed") else "")
                 + ("-bf16" if kwargs.get("bf16") else "")
@@ -125,7 +141,9 @@ def main(full: bool = False, packed: bool = False, only: str = "",
                 "volume_ms": round(best * 1000, 2),
                 "frames_per_sec": round(T / best, 1),
                 "compile_s": round(compile_s, 1),
-                "mfu": _mfu(fwd_sum, args, best),
+                "mfu": mfu,
+                "hbm_gbps": hbm_gbps,
+                "hbm_frac": hbm_frac,
             }), flush=True)
         except Exception as e:  # keep the sweep going
             print(json.dumps({"model": name, "error": str(e)[:200]}), flush=True)

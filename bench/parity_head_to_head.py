@@ -44,7 +44,7 @@ sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tests"))
 
 T, C, H, W = 8, 4, 64, 64
-TRAIN_SEEDS = (0, 1, 2)
+TRAIN_SEEDS = (0, 1, 2)  # --dp_batch N replaces this with seeds 10..10+N-1
 TEST_SEED = 3
 TEST_MASK_SEED = 424242
 SEED_OFFSET = 0  # --seed_offset: shifts every data/mask seed for
@@ -83,16 +83,26 @@ def make_volumes():
     return [vol(s) for s in TRAIN_SEEDS], vol(TEST_SEED)
 
 
-def make_masks(epochs):
+def make_dp_volumes(n):
+    """--dp_batch training set: n volumes on seeds 10..10+n-1 (disjoint from
+    the default TRAIN_SEEDS and TEST_SEED so the standard rows stay
+    reproducible), plus the standard held-out test volume."""
+    global TRAIN_SEEDS
+    TRAIN_SEEDS = tuple(range(10, 10 + n))
+    return make_volumes()
+
+
+def make_masks(epochs, n_volumes=None):
     from cinemri_tpu.data.masks import RandomMask
 
     mk = RandomMask([8], [4])
+    n = len(TRAIN_SEEDS) if n_volumes is None else n_volumes
     train_masks = [
         [
             mk(T, H, seed=100_000 + 1_000 * e + v + SEED_OFFSET)[None].astype(
                 np.float32
             )
-            for v in range(len(TRAIN_SEEDS))
+            for v in range(n)
         ]
         for e in range(epochs)
     ]
@@ -331,16 +341,82 @@ def run_framework(family, params, train, test, train_masks, test_mask, epochs,
     return out[0], target[0], losses
 
 
+def run_framework_dp(family, params, train, test, train_masks, test_mask,
+                     epochs, lr_scale="linear"):
+    """Data-parallel framework training at global batch n = len(train) over
+    an n-device mesh, through the SHIPPING path (shard_batch +
+    make_train_step(mesh=...), i.e. the shard_map/psum schedule) — the
+    v5e-8 deployment mode (VERDICT r4 #3).
+
+    Semantics vs the b=1 reference schedule: one update per epoch from the
+    mean gradient over all n volumes, instead of n sequential updates. The
+    certified recipe is LINEAR lr scaling (lr = 1e-4 x n), the standard
+    DP-equivalence first-order correction for the n-fold fewer updates
+    (Goyal et al. 2017 applies it to SGD; measured here for Adam at this
+    scale — see BASELINE.md 'Data-parallel trained quality'); --dp_lr_scale
+    none/sqrt measure the alternatives.
+    """
+    import jax.numpy as jnp
+
+    from cinemri_tpu.models import build_model
+    from cinemri_tpu.parallel import make_mesh, shard_batch
+    from cinemri_tpu.train import make_optimizer, make_train_step
+    from cinemri_tpu.train.step import TrainState, model_apply_fn
+
+    n = len(train)
+    if family == "varnet_crnn":
+        model = build_model("varnet", "CRNN", **MODEL_KW[family])
+    else:
+        model = build_model(family, "XF", **MODEL_KW[family])
+    scale = {"none": 1.0, "linear": float(n), "sqrt": float(np.sqrt(n))}[lr_scale]
+    tx = make_optimizer(lr=1e-4 * scale, lr_step_size=10**6, steps_per_epoch=1)
+    state = TrainState.create(
+        apply_fn=model_apply_fn(model), params=params, tx=tx
+    )
+    mesh = make_mesh({"data": n})
+    step = make_train_step(donate=False, mesh=mesh)
+
+    k_all = np.concatenate([k for k, _, _ in train])  # (n, t, c, h, w)
+    tgt_all = np.concatenate([t for _, t, _ in train])
+    sens_all = (
+        np.concatenate([s for _, _, s in train]) if family == "cinenet" else None
+    )
+    losses = []
+    for e in range(epochs):
+        m = np.concatenate(train_masks[e])  # (n, t, 1, h, 1)
+        batch = {"masked_kspace": k_all * m, "mask": m, "target": tgt_all}
+        if sens_all is not None:
+            batch["sens_maps"] = sens_all
+        state, aux = step(state, shard_batch(batch, mesh))
+        losses.append(float(aux["loss"]))
+
+    import jax
+
+    from cinemri_tpu.ops.cplx import from_complex
+
+    k, target, sens = test
+    args = [from_complex(k * test_mask), jnp.asarray(test_mask)]
+    if family == "cinenet":
+        args.append(from_complex(sens))
+    out = np.asarray(jax.jit(model.apply)(state.params, *args))
+    return out[0], target[0], losses
+
+
 def main(epochs: int = 30, family: str = "varnet", bf16: bool = False,
          packed: bool = False, dft_precision: str | None = None,
          seed_offset: int = 0, compress_coils: int = 0,
-         normal_backend: str = ""):
+         normal_backend: str = "", dp_batch: int = 0,
+         dp_lr_scale: str = "linear"):
     global SEED_OFFSET
     SEED_OFFSET = seed_offset
     from cinemri_tpu.ops import metrics as M
 
-    train, test = make_volumes()
-    train_masks, test_mask = make_masks(epochs)
+    if dp_batch:
+        train, test = make_dp_volumes(dp_batch)
+        train_masks, test_mask = make_masks(epochs, n_volumes=dp_batch)
+    else:
+        train, test = make_volumes()
+        train_masks, test_mask = make_masks(epochs)
 
     t0 = time.perf_counter()
     init_params, out_ref, target, ref_losses = run_reference(
@@ -349,11 +425,17 @@ def main(epochs: int = 30, family: str = "varnet", bf16: bool = False,
     ref_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    out_jax, _, jax_losses = run_framework(
-        family, init_params, train, test, train_masks, test_mask, epochs,
-        bf16=bf16, packed=packed, dft_precision=dft_precision,
-        compress_coils=compress_coils, normal_backend=normal_backend,
-    )
+    if dp_batch:
+        out_jax, _, jax_losses = run_framework_dp(
+            family, init_params, train, test, train_masks, test_mask, epochs,
+            lr_scale=dp_lr_scale,
+        )
+    else:
+        out_jax, _, jax_losses = run_framework(
+            family, init_params, train, test, train_masks, test_mask, epochs,
+            bf16=bf16, packed=packed, dft_precision=dft_precision,
+            compress_coils=compress_coils, normal_backend=normal_backend,
+        )
     jax_s = time.perf_counter() - t0
 
     maxval = float(target.max())
@@ -368,7 +450,8 @@ def main(epochs: int = 30, family: str = "varnet", bf16: bool = False,
                 + (f"-dft_{dft_precision}" if dft_precision else "")
                 + (f"-seeds+{seed_offset}" if seed_offset else "")
                 + (f"-cc{compress_coils}" if compress_coils else "")
-                + (f"-n{normal_backend}" if normal_backend else ""),
+                + (f"-n{normal_backend}" if normal_backend else "")
+                + (f"-dp{dp_batch}_{dp_lr_scale}" if dp_batch else ""),
                 "epochs": epochs,
                 "ssim_reference": round(float(ssim_ref), 5),
                 "ssim_framework": round(float(ssim_jax), 5),
@@ -410,10 +493,21 @@ if __name__ == "__main__":
                     help="pin the jax platform (e.g. 'cpu' when the TPU "
                          "tunnel is down; env vars alone are too late — "
                          "sitecustomize imports jax first)")
+    ap.add_argument("--dp_batch", type=int, default=0,
+                    help="framework side trains data-parallel at global "
+                         "batch N over an N-device mesh (the v5e-8 mode); "
+                         "the reference keeps its b=1 schedule over the "
+                         "same N volumes. Needs N (virtual) devices — run "
+                         "with --platform cpu and "
+                         "XLA_FLAGS=--xla_force_host_platform_device_count=N")
+    ap.add_argument("--dp_lr_scale", default="linear",
+                    choices=("none", "linear", "sqrt"),
+                    help="lr correction for the N-fold fewer updates under "
+                         "--dp_batch (linear = lr x N, the certified recipe)")
     a = ap.parse_args()
     if a.platform:
         import jax
 
         jax.config.update("jax_platforms", a.platform)
     main(a.epochs, a.family, a.bf16, a.packed, a.dft_precision, a.seed_offset,
-         a.compress_coils, a.normal_backend)
+         a.compress_coils, a.normal_backend, a.dp_batch, a.dp_lr_scale)

@@ -97,10 +97,11 @@ def build_parser(family: str) -> argparse.ArgumentParser:
     p.add_argument("--bf16", default=0, choices=(0, 1), type=int,
                    help="bfloat16 denoiser activations (params/optimizer/"
                         "DC/loss stay f32) — ~halves activation HBM "
-                        "traffic; NOT bit-exact, quality certified at 150 "
-                        "epochs for all three families by the bf16 parity "
-                        "rows in BASELINE.md (xpdnet via --norm_buffers "
-                        "auto-on)")
+                        "traffic; NOT bit-exact. Trained quality is "
+                        "certified (BASELINE.md bf16 parity rows) for the "
+                        "dynamic types in cli.common.BF16_CERTIFIED; other "
+                        "variants run fine but warn that only inference "
+                        "throughput was measured for them")
     if family == "xpdnet":
         p.add_argument(
             "--norm_buffers", default=-1, choices=(-1, 0, 1), type=int,
@@ -278,6 +279,14 @@ def build_parser(family: str) -> argparse.ArgumentParser:
     return p
 
 
+# (family, dynamic_type) pairs whose bf16 TRAINED quality carries a measured
+# head-to-head ΔSSIM row (BASELINE.md "Trained parity" bf16 sections); other
+# combinations run, and have measured inference fps, but no quality row
+BF16_CERTIFIED = {
+    ("varnet", "XF"), ("varnet", "CRNN"), ("cinenet", "XF"), ("xpdnet", "XF"),
+}
+
+
 def _envelope_notices(family: str, args) -> None:
     """One-line runtime notices when a run leaves the certified parity
     envelope (PARITY.md "Parity envelope notes"). The reference's own habit
@@ -298,6 +307,22 @@ def _envelope_notices(family: str, args) -> None:
             "envelope: the SSIM loss takes data_range per-sample here but "
             "per-batch in the reference (losses.py:34) — identical at "
             "batch_size=1, deliberately different above it (PARITY.md)",
+            stacklevel=2,
+        )
+    if (
+        getattr(args, "bf16", 0)
+        and (family, args.dynamic_type) not in BF16_CERTIFIED
+        and args.mode == "train"
+    ):
+        certified = ", ".join(
+            f"{f}-{d}" for f, d in sorted(BF16_CERTIFIED) if f == family
+        )
+        warnings.warn(
+            f"--bf16 with --dynamic_type {args.dynamic_type}: trained "
+            f"quality for this {family} variant has no head-to-head ΔSSIM "
+            f"row (certified: {certified}); inference throughput was "
+            "measured, training works, but the <0.001 parity claim does "
+            "not extend to it (BASELINE.md 'Trained parity')",
             stacklevel=2,
         )
     if args.compress_coils:

@@ -75,6 +75,10 @@ class TrainerConfig:
     # all (SURVEY §5).
     profile_steps: int = 0
     profile_dir: Optional[Path] = None  # default: log_dir/"profile"
+    # one-step eval software pipeline (dispatch batch i+1 before pulling
+    # batch i's outputs); off = strictly sequential, for A/B measurement
+    # (bench/eval_throughput.py) and debugging
+    pipeline_eval: bool = True
 
 
 class Trainer:
@@ -105,7 +109,7 @@ class Trainer:
             from cinemri_tpu.instrument import enable_nan_checks
 
             enable_nan_checks(True)
-        self._train_step = make_train_step()
+        self._train_step = make_train_step(mesh=mesh)
         self._eval_step = make_eval_step()
         self.state = None
         self.rng = None
@@ -220,10 +224,14 @@ class Trainer:
         # one-step software pipeline: dispatch batch i+1's forward (async)
         # before pulling batch i's outputs, so device compute overlaps the
         # device->host transfer + host-side metric work (D2H is the eval
-        # loop's dominant cost on remote-dispatch backends)
+        # loop's dominant cost on remote-dispatch backends).
+        # cfg.pipeline_eval=False runs strictly sequentially (A/B path).
         prev = None
         for batch in loader.epoch(epoch):
             aux = self._eval_step(self.state, shard_batch(batch, self.mesh))
+            if not self.cfg.pipeline_eval:
+                consume(batch, aux)
+                continue
             if prev is not None:
                 consume(*prev)
             prev = (batch, aux)

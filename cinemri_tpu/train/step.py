@@ -84,8 +84,35 @@ def _loss_and_output(apply, params, batch) -> Tuple[jnp.ndarray, jnp.ndarray, jn
     return loss, output_c, target
 
 
-def make_train_step(donate: bool = True) -> Callable:
-    """(state, batch) -> (state, aux dict with loss/output/target)."""
+def make_train_step(
+    donate: bool = True, mesh=None, data_axis: str = "data"
+) -> Callable:
+    """(state, batch) -> (state, aux dict with loss/output/target).
+
+    With ``mesh=None`` (or a mesh without a pure ``data`` axis layout) the
+    step is a plain ``jax.jit`` and the SPMD partitioner derives the
+    collectives from the input shardings. That is correct but NOT optimally
+    scheduled for the scanned families: the cascade regularizer weights are
+    scan-broadcast (``variable_broadcast='params'``), so the partitioner
+    places the shared-weight gradient all-reduce INSIDE the backward scan
+    body — one small latency-bound all-reduce per cascade per step instead
+    of one per step (verified by HLO inspection,
+    tests/test_parallel.py::TestCompiledCollectives).
+
+    Passing a pure data-parallel ``mesh`` (axes == {data_axis}, the v5e-8
+    north-star layout) switches to an explicit ``jax.shard_map`` schedule:
+    each chip computes the loss and gradient of ITS batch shard with zero
+    communication, then the full gradient tree is ``psum``'d ONCE and the
+    (replicated) optimizer update is applied identically everywhere — the
+    textbook DP schedule, with per-step collective bytes exactly equal to
+    the gradient tree (plus two scalar psums for the loss). Numerically
+    equivalent to the jit path (same weighted-mean loss; gradient sums
+    merely reassociate) — asserted by
+    tests/test_parallel.py::test_sharded_step_matches_single_device.
+
+    Multi-axis meshes (coil/plane tensor/sequence parallelism) keep the jit
+    path: their in-model sharding constraints need the partitioner.
+    """
 
     def train_step(state: TrainState, batch):
         def loss_fn(params):
@@ -104,7 +131,58 @@ def make_train_step(donate: bool = True) -> Callable:
             "grad_norm": gnorm,
         }
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    if mesh is None or set(mesh.axis_names) != {data_axis}:
+        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+    from jax.sharding import PartitionSpec as P
+
+    def local_step(state: TrainState, batch):
+        # global weight denominator first: it has no parameter dependence,
+        # so the loss can be computed as a per-chip contribution whose psum
+        # is the global weighted mean (gradients then psum the same way)
+        w = batch.get("sample_weight")
+        if w is None:
+            w = jnp.ones((batch["target"].shape[0],), jnp.float32)
+        gden = jnp.maximum(jax.lax.psum(jnp.sum(w), data_axis), 1.0)
+
+        def loss_fn(params):
+            output = state.apply_fn(params, batch)
+            target, output_c = center_crop_to_smallest(batch["target"], output)
+            from cinemri_tpu.ops.ssim import ssim_index_per_sample
+
+            s = ssim_index_per_sample(output_c, target)  # (b_local, t)
+            per_sample = jnp.mean(1.0 - s, axis=1)
+            local_contrib = jnp.sum(per_sample * w.astype(per_sample.dtype)) / gden
+            return local_contrib, (output_c, target)
+
+        (local_loss, (output, target)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        loss = jax.lax.psum(local_loss, data_axis)
+        grads = jax.lax.psum(grads, data_axis)  # THE one gradient all-reduce
+        state = state.apply_gradients(grads=grads)
+        gnorm = optax.global_norm(grads)
+        return state, {
+            "loss": loss,
+            "output": output,
+            "target": target,
+            "grad_norm": gnorm,
+        }
+
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        # state replicated; every batch leaf sharded on its leading (batch)
+        # dim — P(data_axis) is a pytree prefix over the whole batch dict
+        in_specs=(P(), P(data_axis)),
+        out_specs=(
+            P(),
+            {"loss": P(), "output": P(data_axis), "target": P(data_axis),
+             "grad_norm": P()},
+        ),
+        check_vma=False,  # replicated-state update is deterministic per chip
+    )
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step() -> Callable:

@@ -482,6 +482,31 @@ class TestEnvelopeNotices:
             out = train_test_main("varnet", args)
         assert np.isfinite(out["history"][0]["train_loss"])
 
+    def test_bf16_uncertified_dynamic_type_warns(self, workdir):
+        """--bf16 training on a dynamic type without a trained-quality
+        head-to-head row (cli.common.BF16_CERTIFIED) warns; a certified
+        pairing (varnet-XF) stays silent on that notice."""
+        args = TINY_ARGS + [
+            "--path_config", str(workdir / "dirs_path.yaml"),
+            "--maps_cache_dir", str(workdir / "maps"),
+            "--chans", "4",
+            "--sens_chans", "4", "--sens_pools", "2", "--pools", "2",
+            "--mode", "train",
+            "--bf16", "1",
+            "--dynamic_type", "2D",
+        ]
+        with pytest.warns(UserWarning, match="no head-to-head"):
+            out = train_test_main("varnet", args)
+        assert np.isfinite(out["history"][0]["train_loss"])
+
+        import warnings as _w
+
+        args[args.index("--dynamic_type") + 1] = "XF"
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            train_test_main("varnet", args)
+        assert not [w for w in rec if "no head-to-head" in str(w.message)]
+
     def test_xpdnet_norm_buffers_override_warns(self, workdir):
         """Forcing --norm_buffers against its certified pairing (on exactly
         under --bf16) is a function change and warns at configuration

@@ -62,9 +62,12 @@ class TestMesh:
 
 
 class TestDataParallelTraining:
-    def test_sharded_step_matches_single_device(self, rng):
+    @pytest.mark.parametrize("schedule", ["spmd_jit", "shard_map"])
+    def test_sharded_step_matches_single_device(self, schedule, rng):
         """The mesh-sharded train step must produce the same loss and the
-        same updated params as the unsharded one (allreduce correctness)."""
+        same updated params as the unsharded one (allreduce correctness) —
+        both through the partitioner-derived jit path and through the
+        explicit shard_map/psum schedule (train/step.py)."""
         batch = _batch(rng)
         model = build_model("varnet", "XF", **TINY)
         tx = make_optimizer(lr=1e-3, steps_per_epoch=1)
@@ -77,6 +80,8 @@ class TestDataParallelTraining:
         mesh = make_mesh()
         arrays_mesh = shard_batch(batch, mesh)
         state2 = create_train_state(model, arrays_mesh, tx)
+        if schedule == "shard_map":
+            step = make_train_step(donate=False, mesh=mesh)
         s2, aux2 = step(state2, arrays_mesh)
 
         np.testing.assert_allclose(float(aux1["loss"]), float(aux2["loss"]), rtol=1e-5)
@@ -463,6 +468,145 @@ class TestCoilMeshInputSharding:
             jax.config.update("jax_enable_compilation_cache", prev)
         err = capfd.readouterr().err
         assert "Involuntary full rematerialization" not in err, err[-2000:]
+
+
+def _collective_ops(compiled_text: str):
+    """Parse collective ops out of optimized HLO text: list of
+    (kind, [shape bytes...]) for every all-reduce / all-gather /
+    reduce-scatter / all-to-all / collective-permute instruction."""
+    import re
+
+    sizes = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
+             "s8": 1, "u8": 1, "pred": 1}
+    out = []
+    for line in compiled_text.splitlines():
+        m = re.search(
+            r"= (.+?) (all-reduce|all-gather|"
+            r"reduce-scatter|all-to-all|collective-permute)\(", line)
+        if not m:
+            continue
+        restype, kind = m.group(1), m.group(2)
+        byte_list = []
+        for dt, dims in re.findall(r"\b(f64|f32|bf16|f16|s32|u32|s8|u8|pred)\[([\d,]*)\]", restype):
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            byte_list.append(n * sizes[dt])
+        out.append((kind, byte_list))
+    return out
+
+
+class TestCompiledCollectives:
+    """Pin the scaling claims to the compiled program itself (VERDICT r4
+    #5): inspect the lowered+compiled mesh train step's collective set and
+    byte volume instead of only testing values."""
+
+    def test_data_mesh_one_gradient_allreduce(self, rng):
+        """Pure data-parallel mesh, shard_map schedule: the program's only
+        collectives are all-reduces, and their total byte volume equals the
+        gradient tree (one tuple all-reduce) plus O(scalars) — nothing is
+        gathered, scattered, or permuted, and nothing rides inside the
+        cascade scan."""
+        batch = _batch(rng)
+        model = build_model("varnet", "XF", **TINY)
+        mesh = make_mesh()
+        arrays = shard_batch(batch, mesh)
+        state = create_train_state(model, arrays, make_optimizer(steps_per_epoch=1))
+        step = make_train_step(donate=False, mesh=mesh)
+        txt = step.lower(state, arrays).compile().as_text()
+
+        colls = _collective_ops(txt)
+        kinds = {k for k, _ in colls}
+        assert kinds <= {"all-reduce"}, f"unexpected collectives: {kinds}"
+        param_bytes = sum(
+            x.size * x.dtype.itemsize for x in jax.tree.leaves(state.params)
+        )
+        total = sum(b for _, bl in colls for b in bl)
+        # gradient tree = param bytes; slack for the loss/denominator
+        # scalar psums and any scalar the combiner folds in
+        assert param_bytes <= total <= param_bytes + 256, (
+            f"collective bytes {total} vs param bytes {param_bytes}: "
+            f"{colls}"
+        )
+        # the gradient all-reduce is ONE op (the combiner may keep the
+        # scalar psum separate): at most 2 all-reduce instructions
+        assert len(colls) <= 2, colls
+
+    def test_jit_path_allreduces_ride_inside_scan(self, rng):
+        """Document the jit/SPMD path's schedule: the partitioner places
+        the scan-broadcast weight gradient all-reduce inside the backward
+        while body — this is WHY the shard_map schedule is the data-mesh
+        default (train/step.py docstring)."""
+        batch = _batch(rng)
+        model = build_model("varnet", "XF", **dict(TINY, num_cascades=2))
+        mesh = make_mesh()
+        arrays = shard_batch(batch, mesh)
+        state = create_train_state(model, arrays, make_optimizer(steps_per_epoch=1))
+        step = make_train_step(donate=False)  # jit path on purpose
+        txt = step.lower(state, arrays).compile().as_text()
+        colls = _collective_ops(txt)
+        kinds = {k for k, _ in colls}
+        # values are still exact (equivalence test above) and the set is
+        # clean — all-reduce only; but more instructions than shard_map's 2
+        assert kinds <= {"all-reduce"}, f"unexpected collectives: {kinds}"
+        assert len(colls) >= 2, colls
+
+    def test_coil_mesh_collective_set_clean(self, rng):
+        """data x coil mesh (jit path): the coil-combine psums appear, the
+        only gathers are the small structural ones (broadcasting the
+        coil-combined c=1 image back to the coil shards, sens-net per-coil
+        vmap boundaries), and — the involuntary-remat signature — NO
+        collective ever carries the full multi-coil k-space (complements
+        TestCoilMeshInputSharding's warning check)."""
+        b = _batch(rng, b=2)
+        b["masked_kspace"] = np.repeat(b["masked_kspace"], 2, axis=2)  # c=4
+        mesh = make_mesh({"data": 2, "coil": 4})
+        model = build_model("varnet", "XF", coil_axis="coil", **TINY)
+        with jax.set_mesh(mesh):
+            arrays = shard_batch(b, mesh)
+            state = create_train_state(
+                model, arrays, make_optimizer(steps_per_epoch=1)
+            )
+            step = make_train_step(donate=False, mesh=mesh)  # falls back to jit
+            txt = step.lower(state, arrays).compile().as_text()
+        colls = _collective_ops(txt)
+        kinds = {k for k, _ in colls}
+        assert "all-reduce" in kinds, "coil combine must psum over the mesh"
+        assert kinds <= {"all-reduce", "all-gather"}, (
+            f"unexpected collectives: {kinds}"
+        )
+        kspace_bytes = arrays["masked_kspace"].re.size * 4  # one RI plane
+        gathered = [max(bl) for k, bl in colls if k == "all-gather" and bl]
+        assert all(g < kspace_bytes for g in gathered), (
+            f"an all-gather carries >= the full multi-coil k-space "
+            f"({kspace_bytes} B): {sorted(gathered, reverse=True)[:4]}"
+        )
+
+    def test_shard_map_weighted_padded_batch_matches(self, rng):
+        """sample_weight flows through the shard_map loss pieces: a padded
+        batch (weight 0 on padding) must equal the unpadded loss/params."""
+        batch = _batch(rng)
+        batch["sample_weight"] = np.array([1, 1, 1, 1, 1, 1, 0, 0], np.float32)
+        real = {k: v[:6] for k, v in batch.items() if k != "sample_weight"}
+
+        model = build_model("varnet", "XF", **TINY)
+        tx = make_optimizer(lr=1e-3, steps_per_epoch=1)
+        single = shard_batch(real, None)
+        s1 = create_train_state(model, single, tx)
+        st1, aux1 = make_train_step(donate=False)(s1, single)
+
+        mesh = make_mesh()
+        arrays = shard_batch(batch, mesh)
+        s2 = create_train_state(model, arrays, tx)
+        st2, aux2 = make_train_step(donate=False, mesh=mesh)(s2, arrays)
+        np.testing.assert_allclose(
+            float(aux1["loss"]), float(aux2["loss"]), rtol=1e-5
+        )
+        for a, b2 in zip(jax.tree.leaves(st1.params), jax.tree.leaves(st2.params)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b2), rtol=1e-4, atol=1e-5
+            )
 
 
 class TestDistributedHelpers:
