@@ -342,7 +342,7 @@ def run_framework(family, params, train, test, train_masks, test_mask, epochs,
 
 
 def run_framework_dp(family, params, train, test, train_masks, test_mask,
-                     epochs, lr_scale="linear"):
+                     epochs, lr_scale="linear", device_batch=False):
     """Data-parallel framework training at global batch n = len(train) over
     an n-device mesh, through the SHIPPING path (shard_batch +
     make_train_step(mesh=...), i.e. the shard_map/psum schedule) — the
@@ -355,6 +355,18 @@ def run_framework_dp(family, params, train, test, train_masks, test_mask,
     (Goyal et al. 2017 applies it to SGD; measured here for Adam at this
     scale — see BASELINE.md 'Data-parallel trained quality'); --dp_lr_scale
     none/sqrt measure the alternatives.
+
+    ``device_batch=True`` executes the SAME global-batch-n update on ONE
+    device (plain jit, batch dimension n) instead of the n-device
+    shard_map schedule. The two are the same weighted-mean loss and
+    gradient up to float re-association —
+    tests/test_parallel.py::test_sharded_step_matches_single_device and
+    ::test_shard_map_weighted_padded_batch_matches assert the equivalence
+    to tolerance — so the trained-quality question (n-fold fewer
+    optimizer updates at n-fold larger batch) can be measured at chip
+    speed where the virtual n-device CPU mesh is ~15x slower than the
+    torch reference on one host core (measured round 5: 75 min vs 4.8 min
+    at 30 epochs).
     """
     import jax.numpy as jnp
 
@@ -373,7 +385,7 @@ def run_framework_dp(family, params, train, test, train_masks, test_mask,
     state = TrainState.create(
         apply_fn=model_apply_fn(model), params=params, tx=tx
     )
-    mesh = make_mesh({"data": n})
+    mesh = None if device_batch else make_mesh({"data": n})
     step = make_train_step(donate=False, mesh=mesh)
 
     k_all = np.concatenate([k for k, _, _ in train])  # (n, t, c, h, w)
@@ -406,7 +418,8 @@ def main(epochs: int = 30, family: str = "varnet", bf16: bool = False,
          packed: bool = False, dft_precision: str | None = None,
          seed_offset: int = 0, compress_coils: int = 0,
          normal_backend: str = "", dp_batch: int = 0,
-         dp_lr_scale: str = "linear"):
+         dp_lr_scale: str = "linear", dp_device_batch: bool = False,
+         ref_cache: str = "", ref_only: bool = False):
     global SEED_OFFSET
     SEED_OFFSET = seed_offset
     from cinemri_tpu.ops import metrics as M
@@ -418,17 +431,55 @@ def main(epochs: int = 30, family: str = "varnet", bf16: bool = False,
         train, test = make_volumes()
         train_masks, test_mask = make_masks(epochs)
 
+    # The reference side depends only on (family, epochs, dp_batch,
+    # seed_offset) — never on the framework-side knobs — so --ref_cache
+    # lets e.g. the three --dp_lr_scale runs share ONE torch training.
+    def jax_to_numpy(tree):
+        import jax
+
+        return jax.tree.map(np.asarray, tree)
+
+    cache_path = None
+    if ref_cache:
+        cache_path = Path(ref_cache) / (
+            f"ref_{family}_e{epochs}_dp{dp_batch}_s{seed_offset}.npz"
+        )
     t0 = time.perf_counter()
-    init_params, out_ref, target, ref_losses = run_reference(
-        family, train, test, train_masks, test_mask, epochs
-    )
+    if cache_path is not None and cache_path.exists():
+        import pickle
+
+        with open(cache_path, "rb") as f:
+            init_params, out_ref, target, ref_losses = pickle.load(f)
+        print(f"[ref_cache] loaded {cache_path}", flush=True)
+    else:
+        init_params, out_ref, target, ref_losses = run_reference(
+            family, train, test, train_masks, test_mask, epochs
+        )
+        if cache_path is not None:
+            import pickle
+
+            cache_path.parent.mkdir(parents=True, exist_ok=True)
+            with open(cache_path, "wb") as f:
+                pickle.dump(
+                    (
+                        jax_to_numpy(init_params),
+                        np.asarray(out_ref),
+                        np.asarray(target),
+                        ref_losses,
+                    ),
+                    f,
+                )
     ref_s = time.perf_counter() - t0
+    if ref_only:
+        print(f"[ref_only] reference side done in {ref_s/60:.1f} min "
+              f"(cached: {cache_path})", flush=True)
+        return
 
     t0 = time.perf_counter()
     if dp_batch:
         out_jax, _, jax_losses = run_framework_dp(
             family, init_params, train, test, train_masks, test_mask, epochs,
-            lr_scale=dp_lr_scale,
+            lr_scale=dp_lr_scale, device_batch=dp_device_batch,
         )
     else:
         out_jax, _, jax_losses = run_framework(
@@ -451,7 +502,8 @@ def main(epochs: int = 30, family: str = "varnet", bf16: bool = False,
                 + (f"-seeds+{seed_offset}" if seed_offset else "")
                 + (f"-cc{compress_coils}" if compress_coils else "")
                 + (f"-n{normal_backend}" if normal_backend else "")
-                + (f"-dp{dp_batch}_{dp_lr_scale}" if dp_batch else ""),
+                + (f"-dp{dp_batch}_{dp_lr_scale}" if dp_batch else "")
+                + ("-devb" if dp_batch and dp_device_batch else ""),
                 "epochs": epochs,
                 "ssim_reference": round(float(ssim_ref), 5),
                 "ssim_framework": round(float(ssim_jax), 5),
@@ -504,10 +556,27 @@ if __name__ == "__main__":
                     choices=("none", "linear", "sqrt"),
                     help="lr correction for the N-fold fewer updates under "
                          "--dp_batch (linear = lr x N, the certified recipe)")
+    ap.add_argument("--dp_device_batch", action="store_true",
+                    help="execute the --dp_batch global-batch update on ONE "
+                         "device (plain jit over the batch dim) instead of "
+                         "the N-device shard_map mesh — same loss/gradient "
+                         "up to re-association (equivalence asserted by "
+                         "tests/test_parallel.py); lets the trained-quality "
+                         "run ride the chip instead of the slow virtual "
+                         "CPU mesh")
+    ap.add_argument("--ref_cache", default="",
+                    help="directory caching the torch reference side, keyed "
+                         "by (family, epochs, dp_batch, seed_offset) — the "
+                         "reference never depends on framework-side knobs")
+    ap.add_argument("--ref_only", action="store_true",
+                    help="train and cache ONLY the torch reference side "
+                         "(use with --ref_cache to pre-warm it on the host "
+                         "while the accelerator is busy)")
     a = ap.parse_args()
     if a.platform:
         import jax
 
         jax.config.update("jax_platforms", a.platform)
     main(a.epochs, a.family, a.bf16, a.packed, a.dft_precision, a.seed_offset,
-         a.compress_coils, a.normal_backend, a.dp_batch, a.dp_lr_scale)
+         a.compress_coils, a.normal_backend, a.dp_batch, a.dp_lr_scale,
+         a.dp_device_batch, a.ref_cache, a.ref_only)

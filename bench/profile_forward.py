@@ -81,10 +81,22 @@ def main(model_name: str, packed: bool = False, bf16: bool = False,
             return optax.apply_updates(p, updates), s, loss
 
         jitted = jax.jit(step)
+
         # time by queueing and syncing on the on-device loss scalar:
         # block_until_ready is unreliable on remote-dispatch TPU backends
-        # (same recipe as bench.py)
-        run = lambda: jitted(params, opt_state, *args)[2]
+        # (same recipe as bench.py). The state carry is THREADED through
+        # the loop like real training: timing N independent executions of
+        # the same (params, opt_state) keeps all N output state trees live
+        # at once, which on the packed 3-D variants pushes HBM into a
+        # spill regime and measured 22x slower than the shipping
+        # bench/train_step.py harness (BASELINE.md round-5 harness note).
+        carry = {"p": params, "s": opt_state}
+
+        def run():
+            p2, s2, loss = jitted(carry["p"], carry["s"], *args)
+            carry["p"], carry["s"] = p2, s2
+            return loss
+
         lowered = jitted.lower(params, opt_state, *args)
     else:
         jit_sum = jax.jit(lambda p, *a: jnp.sum(model.apply(p, *a)))
