@@ -419,14 +419,16 @@ def main(epochs: int = 30, family: str = "varnet", bf16: bool = False,
          seed_offset: int = 0, compress_coils: int = 0,
          normal_backend: str = "", dp_batch: int = 0,
          dp_lr_scale: str = "linear", dp_device_batch: bool = False,
-         ref_cache: str = "", ref_only: bool = False):
+         ref_cache: str = "", ref_only: bool = False, dp_epochs: int = 0):
     global SEED_OFFSET
     SEED_OFFSET = seed_offset
     from cinemri_tpu.ops import metrics as M
 
     if dp_batch:
         train, test = make_dp_volumes(dp_batch)
-        train_masks, test_mask = make_masks(epochs, n_volumes=dp_batch)
+        train_masks, test_mask = make_masks(
+            max(epochs, dp_epochs), n_volumes=dp_batch
+        )
     else:
         train, test = make_volumes()
         train_masks, test_mask = make_masks(epochs)
@@ -478,7 +480,8 @@ def main(epochs: int = 30, family: str = "varnet", bf16: bool = False,
     t0 = time.perf_counter()
     if dp_batch:
         out_jax, _, jax_losses = run_framework_dp(
-            family, init_params, train, test, train_masks, test_mask, epochs,
+            family, init_params, train, test, train_masks, test_mask,
+            dp_epochs or epochs,
             lr_scale=dp_lr_scale, device_batch=dp_device_batch,
         )
     else:
@@ -503,7 +506,8 @@ def main(epochs: int = 30, family: str = "varnet", bf16: bool = False,
                 + (f"-cc{compress_coils}" if compress_coils else "")
                 + (f"-n{normal_backend}" if normal_backend else "")
                 + (f"-dp{dp_batch}_{dp_lr_scale}" if dp_batch else "")
-                + ("-devb" if dp_batch and dp_device_batch else ""),
+                + ("-devb" if dp_batch and dp_device_batch else "")
+                + (f"-dpe{dp_epochs}" if dp_batch and dp_epochs else ""),
                 "epochs": epochs,
                 "ssim_reference": round(float(ssim_ref), 5),
                 "ssim_framework": round(float(ssim_jax), 5),
@@ -568,6 +572,12 @@ if __name__ == "__main__":
                     help="directory caching the torch reference side, keyed "
                          "by (family, epochs, dp_batch, seed_offset) — the "
                          "reference never depends on framework-side knobs")
+    ap.add_argument("--dp_epochs", type=int, default=0,
+                    help="decouple the DP side's epoch count from the "
+                         "reference's (--epochs): dp_epochs = 8 x epochs "
+                         "gives the EQUAL-UPDATE-COUNT comparison (the DP "
+                         "run sees 8x the data passes; on 8 chips that is "
+                         "the same wall-clock as the b=1 reference on one)")
     ap.add_argument("--ref_only", action="store_true",
                     help="train and cache ONLY the torch reference side "
                          "(use with --ref_cache to pre-warm it on the host "
@@ -579,4 +589,4 @@ if __name__ == "__main__":
         jax.config.update("jax_platforms", a.platform)
     main(a.epochs, a.family, a.bf16, a.packed, a.dft_precision, a.seed_offset,
          a.compress_coils, a.normal_backend, a.dp_batch, a.dp_lr_scale,
-         a.dp_device_batch, a.ref_cache, a.ref_only)
+         a.dp_device_batch, a.ref_cache, a.ref_only, a.dp_epochs)

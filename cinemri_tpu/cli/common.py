@@ -303,10 +303,29 @@ def _envelope_notices(family: str, args) -> None:
         )
     if args.batch_size > 1:
         warnings.warn(
-            f"batch_size={args.batch_size} is outside the certified parity "
-            "envelope: the SSIM loss takes data_range per-sample here but "
-            "per-batch in the reference (losses.py:34) — identical at "
-            "batch_size=1, deliberately different above it (PARITY.md)",
+            f"batch_size={args.batch_size} (PER-DEVICE) is outside the "
+            "certified parity envelope: the SSIM loss takes data_range "
+            "per-sample here but per-batch in the reference (losses.py:34) "
+            "— identical at batch_size=1, deliberately different above it. "
+            "Data-parallel global batching (--num_devices N at "
+            "batch_size=1) IS certified with linear lr scaling at "
+            "protocol-length schedules (PARITY.md)",
+            stacklevel=2,
+        )
+    if (
+        args.mode == "train"
+        and getattr(args, "num_devices", 1) != 1
+        and args.batch_size == 1
+        and abs(args.lr - 1e-4) < 1e-12
+    ):
+        warnings.warn(
+            f"--num_devices {args.num_devices} at the default --lr 1e-4: "
+            "the certified data-parallel recipe scales lr LINEARLY with "
+            "the global batch (--lr {:.0e} here); unscaled lr measured "
+            "ΔSSIM −0.23 vs the b=1 schedule at the 30-epoch screen "
+            "(BASELINE.md 'Data-parallel trained quality at global "
+            "batch 8')".format(1e-4 * (args.num_devices if args.num_devices
+                                       else 8)),
             stacklevel=2,
         )
     if (

@@ -482,6 +482,29 @@ class TestEnvelopeNotices:
             out = train_test_main("varnet", args)
         assert np.isfinite(out["history"][0]["train_loss"])
 
+    def test_dp_default_lr_warns_and_scaled_lr_does_not(self, workdir):
+        """--num_devices N at the default lr warns that the certified
+        data-parallel recipe scales lr linearly (BASELINE.md round-5 DP
+        certification); passing the scaled lr silences the notice."""
+        args = TINY_ARGS + [
+            "--path_config", str(workdir / "dirs_path.yaml"),
+            "--maps_cache_dir", str(workdir / "maps"),
+            "--chans", "4",
+            "--sens_chans", "4", "--sens_pools", "2", "--pools", "2",
+            "--mode", "train",
+            "--num_devices", "2",
+        ]
+        with pytest.warns(UserWarning, match="scales lr LINEARLY"):
+            out = train_test_main("varnet", args)
+        assert np.isfinite(out["history"][0]["train_loss"])
+
+        import warnings as _w
+
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            train_test_main("varnet", args + ["--lr", "2e-4"])
+        assert not [w for w in rec if "LINEARLY" in str(w.message)]
+
     def test_bf16_uncertified_dynamic_type_warns(self, workdir):
         """--bf16 training on a dynamic type without a trained-quality
         head-to-head row (cli.common.BF16_CERTIFIED) warns; a certified
