@@ -9,10 +9,16 @@ inside the backward pass; a checkpoint policy picks intermediates to keep,
 trading HBM residency for replay FLOPs/bandwidth.
 
 Policies (``remat_policy`` on the model classes; swept on the chip by
-``bench/train_step.py --remat_policy``, results in BASELINE.md "Training
-throughput"):
+``bench/train_step.py --remat_policy``, results in BASELINE.md
+"Train-step remat-policy sweep"). Round-5 sweep outcome on the flagship
+at protocol shape: **full replay wins** — every saving policy is 10-43%
+slower (the backward is HBM-bandwidth-bound, so spilling checkpointed
+activations costs more than recomputing the fused forward chain), and
+disabling remat outright fails to compile at 10 cascades. The policies
+stay selectable for parts where the trade can flip (bigger HBM, smaller
+models, FLOP-bound regimes).
 
-* ``""``       — save nothing (full replay). The round-2..4 default.
+* ``""``       — save nothing (full replay). The default; sweep winner.
 * ``"dots"``   — ``jax.checkpoint_policies.dots_with_no_batch_dims_saveable``:
   keep non-batched matmul outputs (the DFT/DC-kernel contractions).
 * ``"dots_batch"`` — ``dots_saveable``: keep every dot_general output.
