@@ -276,6 +276,19 @@ def build_parser(family: str) -> argparse.ArgumentParser:
         "--profile_dir", default=None, type=Path,
         help="Trace output dir (default: <log_dir>/tensorboard/profile)",
     )
+    p.add_argument(
+        "--device_data_cache", default=1, choices=(0, 1), type=int,
+        help="Keep per-sample constants (raw k-space, targets, stable "
+             "sens maps) resident in device memory so each step transfers "
+             "only the mask; masked k-space is rebuilt on device "
+             "(train/device_cache.py — numerically identical, removes "
+             "~2 GB/epoch of H2D at protocol scale). Single-device runs "
+             "only; mesh runs use sharded placement regardless",
+    )
+    p.add_argument(
+        "--device_data_cache_gb", default=4.0, type=float,
+        help="HBM byte budget (GiB) for --device_data_cache (LRU beyond it)",
+    )
     return p
 
 
@@ -744,6 +757,8 @@ def _train_test_main(family: str, argv, _scope) -> Dict:
         profile_steps=args.profile_steps,
         profile_dir=args.profile_dir,
         log_every_steps=args.log_every_steps,
+        device_data_cache=bool(args.device_data_cache),
+        device_data_cache_gb=args.device_data_cache_gb,
     )
     trainer = Trainer(
         model,

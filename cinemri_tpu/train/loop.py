@@ -15,6 +15,7 @@ from pathlib import Path
 from typing import Callable, Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from cinemri_tpu.parallel.mesh import shard_batch
@@ -25,6 +26,24 @@ from cinemri_tpu.train.optim import make_optimizer
 from cinemri_tpu.train.step import create_train_state, make_eval_step, make_train_step
 
 __all__ = ["TrainerConfig", "Trainer"]
+
+
+@jax.jit
+def _stack(parts):
+    """Stack per-sample device arrays (or Complex pairs) into a batch."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *parts)
+
+
+@jax.jit
+def _stack_and_mask(ks, mask):
+    """Batch cached raw k-space samples and apply this step's mask on
+    device — `data * mask + 0.0` exactly as the host transform
+    (transforms.py:90 semantics; mask is 0/1 so the product is exact and
+    the `+ 0.0` normalizes zero signs the same way)."""
+    from cinemri_tpu.ops.cplx import Complex
+
+    k = jax.tree.map(lambda *xs: jnp.stack(xs), *ks)
+    return Complex(k.re * mask + 0.0, k.im * mask + 0.0)
 
 
 def _local_np(x) -> np.ndarray:
@@ -79,6 +98,16 @@ class TrainerConfig:
     # batch i's outputs); off = strictly sequential, for A/B measurement
     # (bench/eval_throughput.py) and debugging
     pipeline_eval: bool = True
+    # HBM-resident cache of per-sample constants (raw k-space, target,
+    # stable sens maps): per-step H2D shrinks from the full masked
+    # k-space to the ~12 KB mask, with the mask multiply done on device
+    # (train/device_cache.py — removes ~2 GB/epoch of transfers at
+    # protocol scale AND bounds this container's per-transfer host-RSS
+    # platform leak, see BASELINE.md round-5 training-run anatomy).
+    # Single-device path only; mesh runs keep shard_batch. Numerically
+    # identical to the host path (mask is 0/1; `k*m + 0.0` both sides).
+    device_data_cache: bool = True
+    device_data_cache_gb: float = 4.0
 
 
 class Trainer:
@@ -114,6 +143,81 @@ class Trainer:
         self.state = None
         self.rng = None
         self.history: List[Dict[str, float]] = []
+        self._dev_cache = None
+        if config.device_data_cache and mesh is None:
+            from cinemri_tpu.train.device_cache import DeviceSampleCache
+
+            self._dev_cache = DeviceSampleCache(
+                int(config.device_data_cache_gb * (1 << 30))
+            )
+        self._dataset_paths: Dict[int, Dict[str, object]] = {}
+
+    # ---------------------------------------------------------- device data
+
+    def _place_batch(self, batch, loader):
+        """Device placement for one batch.
+
+        Mesh runs (and anything the cache cannot prove constant) go
+        through :func:`shard_batch`. The single-device path routes the
+        per-sample constants through :class:`DeviceSampleCache`: raw
+        k-space and target transfer ONCE per sample for the whole run,
+        and the masked k-space is rebuilt on device from this step's
+        mask (`k*m + 0.0`, identical to the host transform,
+        transforms.py:90 semantics). CineNet sens maps are cached only
+        when the transform pins them per sample (``cache_maps=True``);
+        reference-semantics per-epoch maps keep the host path for
+        correctness.
+        """
+        ds = getattr(loader, "dataset", None) if loader is not None else None
+        tf = getattr(ds, "transform", None)
+        sens_stable = "sens_maps" not in batch or bool(
+            getattr(tf, "cache_maps", False)
+        )
+        if (
+            self._dev_cache is None
+            or ds is None
+            or not hasattr(ds, "_load_decoded")
+            or "masked_kspace" not in batch
+            or getattr(tf, "compress_coils", 0)
+            or not sens_stable
+        ):
+            return shard_batch(batch, self.mesh)
+
+        paths = self._dataset_paths.get(id(ds))
+        if paths is None:
+            paths = {ex.fname.name: ex.fname for ex in ds.examples}
+            self._dataset_paths[id(ds)] = paths
+
+        import jax.numpy as jnp
+
+        ks, tgts, sens = [], [], []
+        for i, fname in enumerate(batch["fname"]):
+            key = (id(ds), fname, int(batch["slice_num"][i]))
+            dev = self._dev_cache.get(
+                key,
+                lambda i=i, fname=fname: {
+                    "kspace": ds._load_decoded(paths[fname])["kspace"],
+                    "target": batch["target"][i],
+                    "sens_maps": (
+                        batch["sens_maps"][i] if "sens_maps" in batch else None
+                    ),
+                },
+            )
+            ks.append(dev["kspace"])
+            tgts.append(dev["target"])
+            sens.append(dev["sens_maps"])
+
+        mask = jnp.asarray(batch["mask"])  # ~KBs — the only per-step put
+        out = {
+            "masked_kspace": _stack_and_mask(tuple(ks), mask),
+            "mask": mask,
+            "target": _stack(tuple(tgts)),
+        }
+        if sens[0] is not None:
+            out["sens_maps"] = _stack(tuple(sens))
+        if "sample_weight" in batch:
+            out["sample_weight"] = jnp.asarray(batch["sample_weight"])
+        return out
 
     # ------------------------------------------------------------------ setup
 
@@ -228,7 +332,7 @@ class Trainer:
         # cfg.pipeline_eval=False runs strictly sequentially (A/B path).
         prev = None
         for batch in loader.epoch(epoch):
-            aux = self._eval_step(self.state, shard_batch(batch, self.mesh))
+            aux = self._eval_step(self.state, self._place_batch(batch, loader))
             if not self.cfg.pipeline_eval:
                 consume(batch, aux)
                 continue
@@ -304,7 +408,7 @@ class Trainer:
                         )
                         prof_ctx = trace(pdir)
                         prof_ctx.__enter__()
-                    arrays = shard_batch(batch, self.mesh)
+                    arrays = self._place_batch(batch, self.train_loader)
                     self.state, aux = self._train_step(self.state, arrays)
                     steps_this_process += 1
                     n_real = int(np.sum(batch["sample_weight"] > 0)) if "sample_weight" in batch else len(batch["fname"])

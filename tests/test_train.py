@@ -175,6 +175,83 @@ class TestEndToEnd:
         assert 0 < test_metrics["ssim"] <= 1
         assert (tmp_path / "ckpt").exists()
 
+    def test_device_data_cache_matches_host_path(self, data_root, tmp_path):
+        """The HBM-resident sample cache (train/device_cache.py) must be a
+        pure placement change: training with it on and off from the same
+        init over the same epochs yields identical losses and parameters
+        (the on-device `k*m + 0.0` equals the host transform's)."""
+        import jax
+
+        def run(flag, sub):
+            cfg = TrainerConfig(
+                epochs=2, lr=1e-3, ckpt_dir=None, log_dir=None,
+                compute_train_metrics=False, device_data_cache=flag,
+            )
+            trainer = Trainer(
+                build_model("varnet", "XF", **TINY),
+                cfg,
+                train_loader=_loader(data_root, "train", tmp_path / sub,
+                                     shuffle=True),
+                val_loader=_loader(data_root, "valid", tmp_path / sub),
+            )
+            history = trainer.fit()
+            return history, trainer
+
+        h_on, t_on = run(True, "dcache_on")
+        h_off, t_off = run(False, "dcache_off")
+        assert t_on._dev_cache is not None and t_on._dev_cache.hits > 0
+        assert t_off._dev_cache is None
+        for a, b in zip(h_on, h_off):
+            assert a["train_loss"] == pytest.approx(b["train_loss"], abs=1e-7)
+            assert a["val_loss"] == pytest.approx(b["val_loss"], abs=1e-7)
+        for pa, pb in zip(
+            jax.tree.leaves(t_on.state.params), jax.tree.leaves(t_off.state.params)
+        ):
+            np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                       rtol=1e-6, atol=1e-7)
+
+    def test_device_cache_lru_eviction(self):
+        """The cache evicts least-recently-used entries past its byte
+        budget and re-transfers on re-access."""
+        from cinemri_tpu.train.device_cache import DeviceSampleCache
+
+        one_mb = np.zeros((256, 1024), np.float32)  # 1 MiB
+        cache = DeviceSampleCache(budget_bytes=int(2.5 * (1 << 20)))
+        for key in ("a", "b", "c"):
+            cache.get(key, lambda: {"x": one_mb})
+        assert len(cache) == 2  # "a" evicted
+        assert cache.misses == 3 and cache.hits == 0
+        cache.get("c", lambda: {"x": one_mb})
+        assert cache.hits == 1
+        cache.get("a", lambda: {"x": one_mb})  # re-transfer
+        assert cache.misses == 4
+
+    def test_device_cache_skips_unstable_sens_maps(self, data_root, tmp_path):
+        """CineNet with reference semantics (fresh per-epoch maps,
+        cache_maps=False) must NOT cache sens maps — the batch falls back
+        to the host placement path."""
+        from cinemri_tpu.data import CineNetDataTransform
+
+        ds = SliceDataset(
+            data_root / "train",
+            transform=CineNetDataTransform(
+                RandomMask([6], [2]), use_seed=True, cache_maps=False
+            ),
+            maps_cache_dir=tmp_path / "maps_cn",
+        )
+        loader = Loader(ds, batch_size=1)
+        cfg = TrainerConfig(epochs=1, ckpt_dir=None, log_dir=None,
+                            compute_train_metrics=False)
+        trainer = Trainer(
+            build_model("cinenet", "XF", num_cascades=2, cg_iters=2,
+                        chans=4, pools=2),
+            cfg,
+            train_loader=loader,
+        )
+        trainer.fit()
+        assert trainer._dev_cache is not None
+        assert trainer._dev_cache.misses == 0  # never engaged
+
     def test_deferred_loss_sync_matches_per_step(self, data_root, tmp_path):
         """Max-throughput mode (no per-step logging, no train metrics)
         defers the loss sync to epoch end; the recorded per-epoch train
