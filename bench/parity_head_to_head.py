@@ -443,8 +443,9 @@ def main(epochs: int = 30, family: str = "varnet", bf16: bool = False,
 
     cache_path = None
     if ref_cache:
+        casc = MODEL_KW[family]["num_cascades"]
         cache_path = Path(ref_cache) / (
-            f"ref_{family}_e{epochs}_dp{dp_batch}_s{seed_offset}.npz"
+            f"ref_{family}_e{epochs}_dp{dp_batch}_s{seed_offset}_c{casc}.npz"
         )
     t0 = time.perf_counter()
     if cache_path is not None and cache_path.exists():
@@ -578,11 +579,19 @@ if __name__ == "__main__":
                          "gives the EQUAL-UPDATE-COUNT comparison (the DP "
                          "run sees 8x the data passes; on 8 chips that is "
                          "the same wall-clock as the b=1 reference on one)")
+    ap.add_argument("--cascades", type=int, default=0,
+                    help="override num_cascades on BOTH sides (e.g. 10 = "
+                         "the reference's full unroll depth at the "
+                         "CPU-tractable toy shape — isolates depth effects "
+                         "from protocol-scale effects)")
     ap.add_argument("--ref_only", action="store_true",
                     help="train and cache ONLY the torch reference side "
                          "(use with --ref_cache to pre-warm it on the host "
                          "while the accelerator is busy)")
     a = ap.parse_args()
+    if a.cascades:
+        for kw in MODEL_KW.values():
+            kw["num_cascades"] = a.cascades
     if a.platform:
         import jax
 
