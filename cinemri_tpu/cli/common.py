@@ -248,6 +248,15 @@ def build_parser(family: str) -> argparse.ArgumentParser:
     p.add_argument("--lr", default=1e-4, type=float)
     p.add_argument("--lr_step_size", default=140, type=int)
     p.add_argument("--lr_gamma", default=0.01, type=float)
+    p.add_argument(
+        "--clip_grad_norm", default=0.0, type=float,
+        help="Global-norm gradient clip (0 = off, the reference recipe). "
+             "Opt-in guard against the rare catastrophic gradient spikes "
+             "the clip-free recipe admits (BASELINE.md round-5 full-scale "
+             "run: one 2e5-norm sens-net gradient poisoned Adam). Changes "
+             "the optimizer-state structure: checkpoints do not resume "
+             "across different settings",
+    )
     p.add_argument("--weight_decay", default=0.0, type=float)
     p.add_argument("--seed", default=42, type=int)
     p.add_argument("--num_log_images", default=2, type=int)  # mri_module.py:505
@@ -745,6 +754,7 @@ def _train_test_main(family: str, argv, _scope) -> Dict:
         lr=args.lr,
         lr_step_size=args.lr_step_size,
         lr_gamma=args.lr_gamma,
+        clip_grad_norm=args.clip_grad_norm,
         weight_decay=args.weight_decay,
         seed=args.seed,
         ckpt_dir=ckpt_dir,

@@ -69,6 +69,12 @@ class TrainerConfig:
     lr_step_size: int = 140
     lr_gamma: float = 0.01
     weight_decay: float = 0.0
+    # 0 = the reference recipe (no clipping). Opt-in mitigation for the
+    # rare catastrophic gradient spikes the clip-free recipe admits
+    # (BASELINE.md round-5 full-scale run: one 2e5-norm gradient poisoned
+    # Adam and cost ~0.2 SSIM). Changes the opt_state structure, so a
+    # checkpoint trained with one setting cannot resume under the other.
+    clip_grad_norm: float = 0.0
     seed: int = 42
     ckpt_dir: Optional[Path] = None
     log_dir: Optional[Path] = None
@@ -231,6 +237,7 @@ class Trainer:
             lr_gamma=self.cfg.lr_gamma,
             weight_decay=self.cfg.weight_decay,
             steps_per_epoch=steps_per_epoch,
+            clip_grad_norm=self.cfg.clip_grad_norm,
         )
         arrays = shard_batch(example_batch, self.mesh)
         init_rng, self.rng = jax.random.split(jax.random.PRNGKey(self.cfg.seed))

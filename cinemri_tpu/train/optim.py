@@ -33,10 +33,24 @@ def make_optimizer(
     lr_gamma: float = 0.01,
     weight_decay: float = 0.0,
     steps_per_epoch: int = 1,
+    clip_grad_norm: float = 0.0,
 ) -> optax.GradientTransformation:
+    """Adam + StepLR (varnet_module.py:151-159 semantics).
+
+    ``clip_grad_norm`` (0 = off, the reference recipe) prepends
+    ``optax.clip_by_global_norm``. The reference trains WITHOUT clipping
+    and its architecture admits rare catastrophic gradient spikes — the
+    round-5 full-protocol run hit a single 2e5-norm gradient (sens-net
+    NormUnet subtree, deterministic replay in BASELINE.md) that poisoned
+    Adam's moments and cost the run ~0.2 SSIM. Clipping is the standard
+    mitigation; it is opt-in because it changes the trained function
+    relative to the reference recipe.
+    """
     schedule = step_decay_schedule(lr, lr_step_size, lr_gamma, steps_per_epoch)
+    parts = []
+    if clip_grad_norm > 0:
+        parts.append(optax.clip_by_global_norm(clip_grad_norm))
     if weight_decay > 0:
-        return optax.chain(
-            optax.add_decayed_weights(weight_decay), optax.adam(schedule)
-        )
-    return optax.adam(schedule)
+        parts.append(optax.add_decayed_weights(weight_decay))
+    parts.append(optax.adam(schedule))
+    return parts[0] if len(parts) == 1 else optax.chain(*parts)

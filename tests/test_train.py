@@ -59,6 +59,36 @@ class TestOptim:
         assert s(20) == pytest.approx(1e-5)  # epoch 2
         assert s(45) == pytest.approx(1e-6)  # epoch 4
 
+    def test_clip_grad_norm_protects_later_steps(self):
+        """A catastrophic gradient poisons Adam's second moment so the NEXT
+        (normal) step's update collapses; clipping bounds the poisoning.
+        This is the round-5 full-scale failure mode in miniature
+        (BASELINE.md: one 2e5-norm gradient froze training quality)."""
+        import jax.numpy as jnp
+        import optax
+
+        from cinemri_tpu.train import make_optimizer
+
+        params = {"w": jnp.zeros((4,))}
+        spike = {"w": jnp.full((4,), 1e6)}
+        normal = {"w": jnp.full((4,), 1e-2)}
+
+        def late_update_norm(clip, n=50):
+            # Adam's first moment forgets the spike in ~1/(1-b1)=10 steps
+            # but the second moment holds it for ~1/(1-b2)=1000, so the
+            # collapse shows in the updates BETWEEN those horizons
+            tx = make_optimizer(lr=1e-4, steps_per_epoch=1,
+                                clip_grad_norm=clip)
+            st = tx.init(params)
+            u, st = tx.update(spike, st, params)
+            for _ in range(n):
+                u, st = tx.update(normal, st, params)
+            return float(optax.global_norm(u))
+
+        poisoned = late_update_norm(0.0)
+        guarded = late_update_norm(1.0)
+        assert guarded > 20 * poisoned  # spike no longer dominates moments
+
     def test_weight_decay_matches_torch_adam_semantics(self):
         import optax
 
